@@ -1,0 +1,80 @@
+"""Device-resident simulation tables.
+
+The reference re-reads manifests/pickles from disk on every episode reset
+(reference ``bitrate_selection/simulators/simulator.py:28-46`` constructs a
+fresh ``Simulator`` per episode).  Here everything a rollout can touch is
+pre-staged once as dense arrays keyed by (video, user, trace) *index* within a
+split, so episode reset is an index select and thousands of simulator
+instances can run under ``vmap``/``scan`` on a TPU core.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from mansy_immersivevideostreaming_tpu.config import Config
+from mansy_immersivevideostreaming_tpu.data.manifest import load_manifest_tables
+from mansy_immersivevideostreaming_tpu.data.network import load_network_tables
+from mansy_immersivevideostreaming_tpu.data.prediction import load_prediction_tables
+
+
+class SimTables(NamedTuple):
+    """All static data a rollout needs, indexed by split-local ids."""
+    # chunk tables
+    sizes: jnp.ndarray        # f32 [V, C, R, T]
+    qualities: jnp.ndarray    # f32 [V, C, R, T]
+    # viewport tables
+    gt: jnp.ndarray           # f32 [V, U, C, T]
+    pred: jnp.ndarray         # f32 [V, U, C, T]
+    vp_acc: jnp.ndarray       # f32 [V, U, C]
+    start_chunk: jnp.ndarray  # i32 [V, U]
+    end_chunk: jnp.ndarray    # i32 [V, U] (clamped to video length - 1;
+                              # reference simulator.py:42)
+    # bandwidth traces
+    bw: jnp.ndarray           # f32 [N, L] bytes/sec
+    bw_len: jnp.ndarray       # i32 [N]
+    # qoe preferences
+    qoe_weights: jnp.ndarray  # f32 [Q, 3]
+    # streaming constants
+    startup_download: int
+    chunk_length: float
+    max_rate: float
+    max_size: float
+    max_throughput: float
+    video_rates: jnp.ndarray  # i32 [R]
+    past_k: int
+    action_space: int
+
+
+def build_sim_tables(config: Config, dataset: str, network_dataset: str,
+                     videos: Sequence[int], users: Sequence[int],
+                     traces: Sequence[int],
+                     qoe_weights: Sequence[Sequence[float]]) -> SimTables:
+    mt = load_manifest_tables(config, dataset, videos)
+    pt = load_prediction_tables(config, dataset, videos, users,
+                                max_chunks=mt.sizes.shape[1])
+    nt = load_network_tables(config, network_dataset, traces)
+    end = np.minimum(pt.end_chunk, (mt.video_length - 1)[:, None])
+    return SimTables(
+        sizes=jnp.asarray(mt.sizes),
+        qualities=jnp.asarray(mt.qualities),
+        gt=jnp.asarray(pt.gt.astype(np.float32)),
+        pred=jnp.asarray(pt.pred.astype(np.float32)),
+        vp_acc=jnp.asarray(pt.accuracy),
+        start_chunk=jnp.asarray(pt.start_chunk),
+        end_chunk=jnp.asarray(end.astype(np.int32)),
+        bw=jnp.asarray(nt.throughput),
+        bw_len=jnp.asarray(nt.length),
+        qoe_weights=jnp.asarray(np.asarray(qoe_weights, np.float32)),
+        startup_download=config.startup_download,
+        chunk_length=float(config.chunk_length),
+        max_rate=float(config.video_rates[-1]),
+        max_size=float(config.max_size),
+        max_throughput=float(config.max_throughput),
+        video_rates=jnp.asarray(np.asarray(config.video_rates, np.int32)),
+        past_k=config.past_k,
+        action_space=config.action_space,
+    )
