@@ -1,0 +1,340 @@
+"""MANSY training/testing CLI (PPO + QoE-preference identifier).
+
+TPU-native equivalent of reference ``bitrate_selection/run_mansy.py``: same
+flags, hyperparameters, directory layout, and CSV outputs.  The tianshou
+Collector/OnpolicyTrainer stack is replaced by a jitted scan collector over
+vmapped envs, a jitted PPO update, and batched identifier training/reward
+shaping (the reference recomputes identifier rewards one transition at a time
+— ``mansy_ppo.py:43-48``; here it is one forward over the whole buffer).
+
+Example::
+
+    python -m mansy_immersivevideostreaming_tpu.cli.run_mansy --train --test \
+        --epochs 1000 --step-per-epoch 4096 --lr 5e-4 --batch-size 512 \
+        --qoe-test-ids 0 1 2 3 --test-on-seen --lamb 0.5 --train-identifier \
+        --use-identifier --gamma 0.95 --ent-coef 0.02 --seed 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.config import load_config
+from mansy_immersivevideostreaming_tpu.models.abr_nets import (
+    MansyActorCritic, QoEIdentifier,
+)
+from mansy_immersivevideostreaming_tpu.rl import ppo as ppo_mod
+from mansy_immersivevideostreaming_tpu.rl.identifier import (
+    identifier_rewards, shape_rewards, train_identifier_on_buffer,
+)
+from mansy_immersivevideostreaming_tpu.rl import runner
+from mansy_immersivevideostreaming_tpu.rl.rollout import (
+    flatten_time, init_lanes, make_collector,
+)
+from mansy_immersivevideostreaming_tpu.rl.types import RunningStat
+from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy
+from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
+    restore_checkpoint, save_checkpoint,
+)
+from mansy_immersivevideostreaming_tpu.utils.logging import ConsoleLogger
+from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+
+try:
+    from torch.utils.tensorboard import SummaryWriter
+except Exception:  # pragma: no cover - tensorboard optional
+    SummaryWriter = None
+
+
+def dummy_obs(config, batch=2):
+    k = config.past_k
+    return {
+        "throughput": jnp.zeros((batch, k)),
+        "next_chunk_size": jnp.zeros((batch, config.num_rates, config.tile_total_num)),
+        "next_chunk_quality": jnp.zeros((batch, config.num_rates, config.tile_total_num)),
+        "pred_viewport": jnp.zeros((batch, config.tile_total_num)),
+        "rates_inside": jnp.zeros((batch, k)),
+        "rates_outside": jnp.zeros((batch, k)),
+        "viewport_acc": jnp.zeros((batch, k)),
+        "buffer": jnp.zeros((batch, 1)),
+        "qoe_weight": jnp.zeros((batch, 3)),
+        "action_one_hot": jnp.zeros((batch, config.action_space)),
+        "past_viewport_qualities": jnp.zeros((batch, k)),
+        "past_quality_variances": jnp.zeros((batch, k)),
+        "past_rebuffering": jnp.zeros((batch, k)),
+    }
+
+
+def train(args, config, models_dir):
+    train_log_path = os.path.join(models_dir, "train_log.csv")
+    valid_log_path = os.path.join(models_dir, "valid_log.csv")
+    for p in (train_log_path, valid_log_path):
+        if os.path.exists(p):
+            os.remove(p)
+
+    qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
+    print("Training QoE weights:", qoe_weights)
+    tables, samples, videos, users, traces = runner.build_split(
+        config, args.train_dataset, args.network_dataset, "train", qoe_weights)
+    vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
+        config, args.train_dataset, args.network_dataset, "valid", qoe_weights)
+
+    policy = MansyActorCritic(hidden_dim=args.hidden_dim,
+                              action_space=config.action_space)
+    identifier = QoEIdentifier(hidden_dim=args.hidden_dim)
+    key = seed_everything(args.seed)
+    k_p, k_i, key = jax.random.split(key, 3)
+    obs0 = dummy_obs(config)
+    params = policy.init(k_p, obs0)["params"]
+    id_params = identifier.init(k_i, obs0)["params"]
+
+    policy_apply = lambda p, o: policy.apply({"params": p}, o)
+    id_apply = lambda p, o: identifier.apply({"params": p}, o)
+
+    optimizer = ppo_mod.make_optimizer(args.lr, args.weight_decay)
+    opt_state = optimizer.init(params)
+    id_optimizer = ppo_mod.make_optimizer(args.identifier_lr, args.weight_decay)
+    id_opt_state = id_optimizer.init(id_params)
+
+    cfg = ppo_mod.PPOConfig(
+        gamma=args.gamma, gae_lambda=args.gae_lambda, eps_clip=args.eps_clip,
+        vf_coef=args.vf_coef, ent_coef=args.ent_coef,
+        max_grad_norm=args.max_grad_norm, value_clip=bool(args.value_clip),
+        norm_adv=bool(args.norm_adv), rew_norm=bool(args.rew_norm),
+        repeat=args.repeat_per_collect, minibatch=args.batch_size)
+
+    n_lanes = args.train_lanes
+    n_steps = max(args.step_per_collect // n_lanes, 1)
+    collect = make_collector(policy_apply, observe_mansy, tables, samples,
+                             n_lanes, n_steps, train=True)
+    states = init_lanes(tables, samples, n_lanes, args.seed)
+    ret_rms = RunningStat.init()
+
+    checkpoint_path = os.path.join(models_dir, "checkpoint.ckpt")
+    id_checkpoint_path = os.path.join(models_dir, "identifier_checkpoint.ckpt")
+    best_policy_path = os.path.join(models_dir, "best_policy.ckpt")
+    best_identifier_path = os.path.join(models_dir, "best_identifier.ckpt")
+    if args.resume:
+        if os.path.exists(checkpoint_path):
+            params = restore_checkpoint(checkpoint_path, params)
+            print("Successfully loaded agent from:", checkpoint_path)
+        if os.path.exists(id_checkpoint_path):
+            id_params = restore_checkpoint(id_checkpoint_path, id_params)
+            print("Successfully loaded identifier from:", id_checkpoint_path)
+
+    writer = None
+    if SummaryWriter is not None:
+        writer = SummaryWriter(os.path.join(models_dir, "mansy_tb_logger"))
+
+    collects_per_epoch = max(args.step_per_epoch // (n_lanes * n_steps), 1)
+    best_reward = float("-inf")
+    env_step = 0
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        metrics = {}
+        for _ in range(collects_per_epoch):
+            key, k_c, k_u, k_id = jax.random.split(key, 4)
+            states, traj, logs, last_values = collect(params, states, k_c)
+            env_step += n_lanes * n_steps
+            flat_obs = flatten_time(traj.obs)
+
+            if args.train_identifier:
+                id_params, id_opt_state, id_losses, id_valid = (
+                    train_identifier_on_buffer(
+                        id_apply, id_optimizer, id_params, id_opt_state,
+                        flat_obs, k_id, args.identifier_update_round))
+                print("identifier loss:",
+                      [round(float(l), 6) for l in np.asarray(id_losses)],
+                      "valid:", round(float(id_valid), 6))
+
+            rewards = traj.reward
+            if args.use_identifier:
+                id_rew = identifier_rewards(id_apply, id_params, flat_obs)
+                id_rew = id_rew.reshape(rewards.shape)
+                rewards = shape_rewards(rewards, id_rew, args.lamb)
+
+            params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
+                policy_apply, optimizer, cfg, params, opt_state, traj,
+                rewards, last_values, ret_rms, k_u)
+
+            runner.append_episode_logs(
+                train_log_path,
+                runner.episode_log_rows(logs, videos, users, traces, qoe_weights))
+
+        # validation over the valid split (reference valid collector,
+        # run_mansy.py:117-136)
+        key, k_v = jax.random.split(key)
+        vlogs, vmasks = runner.evaluate(policy_apply, params, vtables, vsamples,
+                                        observe_mansy, k_v)
+        vrows = runner.masked_log_rows(vlogs, vmasks, vvideos, vusers, vtraces,
+                                       qoe_weights)
+        runner.append_episode_logs(valid_log_path, vrows)
+        rets = np.concatenate([np.asarray(l.ret)[m] for l, m in zip(vlogs, vmasks)])
+        mean_reward = float(rets.mean())
+
+        save_checkpoint(checkpoint_path, params)
+        save_checkpoint(id_checkpoint_path, id_params)
+        if mean_reward > best_reward:
+            best_reward = mean_reward
+            save_checkpoint(best_policy_path, params)
+            save_checkpoint(best_identifier_path, id_params)
+            print("=" * 68)
+            print("Best policy save at " + best_policy_path)
+            print("Best identifier save at " + best_identifier_path)
+            print("=" * 68)
+
+        dt = time.time() - t0
+        print(f"Epoch: {epoch} | env_step {env_step} | "
+              f"{collects_per_epoch * n_lanes * n_steps / dt:,.0f} env-steps/s | "
+              f"valid mean return {mean_reward:.4f} (best {best_reward:.4f})")
+        if metrics:
+            print("loss:", float(metrics["loss"]), " --- ",
+                  "loss/clip:", float(metrics["loss/clip"]), " --- ",
+                  "loss/vf:", float(metrics["loss/vf"]), " --- ",
+                  "loss/ent:", float(metrics["loss/ent"]))
+        if writer is not None:
+            writer.add_scalar("train/reward", mean_reward, env_step)
+            for k, v in metrics.items():
+                writer.add_scalar(k, float(v), env_step)
+        if mean_reward >= args.reward_threshold:
+            break
+    return params, id_params
+
+
+def test(args, config, models_dir, results_dir):
+    test_log_path = os.path.join(results_dir, "results.csv")
+    if os.path.exists(test_log_path):
+        os.remove(test_log_path)
+
+    split = "train" if args.test_on_seen else "test"
+    qoe_weights = [config.qoe_split[split][i] for i in args.qoe_test_ids]
+    print("Testing QoE weights:", qoe_weights)
+    tables, samples, videos, users, traces = runner.build_split(
+        config, args.test_dataset, args.network_dataset, "test", qoe_weights,
+        test_grid=True)
+
+    policy = MansyActorCritic(hidden_dim=args.hidden_dim,
+                              action_space=config.action_space)
+    key = seed_everything(args.seed)
+    params = policy.init(key, dummy_obs(config))["params"]
+    policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
+    if not os.path.exists(policy_path):
+        raise FileExistsError(f"File not exist: {policy_path}")
+    params = restore_checkpoint(policy_path, params)
+    print("Successfully loaded agent from:", policy_path)
+
+    policy_apply = lambda p, o: policy.apply({"params": p}, o)
+    t0 = time.time()
+    logs, masks = runner.evaluate(policy_apply, params, tables, samples,
+                                  observe_mansy, key)
+    n_eps = int(sum(m.sum() for m in masks))
+    print(f"Tested {n_eps} episodes in {time.time() - t0:.1f}s")
+    rows = runner.masked_log_rows(logs, masks, videos, users, traces, qoe_weights)
+    runner.append_episode_logs(test_log_path, rows)
+    runner.read_log_file(test_log_path)
+    print("Results saved at:", test_log_path)
+
+
+def run(args, config):
+    if args.qoe_train_ids is None:
+        args.qoe_train_ids = list(range(len(config.qoe_split["train"])))
+    split = "train" if args.test_on_seen else "test"
+    if args.qoe_test_ids is None:
+        args.qoe_test_ids = list(range(len(config.qoe_split[split])))
+
+    prefix = (f"epochs_{args.epochs}_bs_{args.batch_size}_lr_{args.lr}_"
+              f"gamma_{args.gamma}_seed_{args.seed}_ent_{args.ent_coef}_"
+              f"useid_{args.use_identifier}_lambda_{args.lamb}_"
+              f"ilr_{args.identifier_lr}_iur_{args.identifier_update_round}_"
+              f"bc_{args.bc or args.init_from_bc}")
+    models_dir = os.path.join(
+        config.bs_models_dir, args.model,
+        args.train_dataset + "_" + args.network_dataset,
+        "qoe" + "_".join(map(str, args.qoe_train_ids)), prefix)
+    seen = "seen" if args.test_on_seen else "unseen"
+    results_dir = os.path.join(
+        config.bs_results_dir, args.model,
+        args.test_dataset + "_" + args.network_dataset,
+        f"{seen}_qoe" + "_".join(map(str, args.qoe_test_ids)), prefix)
+    os.makedirs(models_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+
+    if args.train:
+        console_log = open(os.path.join(models_dir, "console.log"), "w")
+        sys.stdout = ConsoleLogger(sys.__stdout__, console_log)
+        train(args, config, models_dir)
+    if args.test:
+        test(args, config, models_dir, results_dir)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", type=str, default="mansy")
+    parser.add_argument("--reward-threshold", type=float, default=500000.0)
+    parser.add_argument("--seed", type=int, default=5)
+    parser.add_argument("--buffer-size", type=int, default=1000000)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--weight-decay", type=float, default=1e-2)
+    parser.add_argument("--gamma", type=float, default=0.95)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--step-per-epoch", type=int, default=4096)
+    parser.add_argument("--step-per-collect", type=int, default=4096)
+    parser.add_argument("--repeat-per-collect", type=int, default=2)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--train-lanes", type=int, default=128,
+                        help="parallel env lanes (replaces tianshou train_num)")
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--vf-coef", type=float, default=0.5)
+    parser.add_argument("--ent-coef", type=float, default=0.02)
+    parser.add_argument("--eps-clip", type=float, default=0.2)
+    parser.add_argument("--max-grad-norm", type=float, default=1)
+    parser.add_argument("--gae-lambda", type=float, default=0.95)
+    parser.add_argument("--rew-norm", type=int, default=1)
+    parser.add_argument("--value-clip", type=int, default=1)
+    parser.add_argument("--norm-adv", type=int, default=1)
+    parser.add_argument("--recompute-adv", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--save-interval", type=int, default=4)
+    parser.add_argument("--model", type=str, default="mansy")
+    parser.add_argument("--hidden-dim", type=int, default=128)
+    parser.add_argument("--identifier-lr", type=float, default=1e-4)
+    parser.add_argument("--identifier-update-round", type=int, default=2)
+    parser.add_argument("--lamb", type=float, default=0.5)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--train-identifier", action="store_true")
+    parser.add_argument("--use-identifier", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--test-on-seen", action="store_true")
+    parser.add_argument("--train-dataset", type=str, default="Jin2022")
+    parser.add_argument("--test-dataset", type=str, default="Jin2022")
+    parser.add_argument("--network-dataset", type=str, default="4G")
+    parser.add_argument("--qoe-train-ids", type=int, nargs="*")
+    parser.add_argument("--qoe-test-ids", type=int, nargs="*")
+    parser.add_argument("--policy-path", type=str)
+    parser.add_argument("--bc", action="store_true")
+    parser.add_argument("--bc-max-steps", type=int, default=150)
+    parser.add_argument("--bc-valid-per-step", type=int, default=50)
+    parser.add_argument("--bc-identifier-max-steps", type=int, default=150)
+    parser.add_argument("--init-from-bc", action="store_true")
+    parser.add_argument("--config-yml", type=str, default=None)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    print(args)
+    config = load_config(args.config_yml)
+    run(args, config)
+
+
+if __name__ == "__main__":
+    main()

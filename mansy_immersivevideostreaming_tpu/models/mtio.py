@@ -1,0 +1,164 @@
+"""MTIO ensemble viewport-prediction Transformer (Flax).
+
+Rebuild of the reference's multi-trajectory-input-output predictor
+(reference ``viewport_prediction/models/mtio.py``):
+
+* ``num_head`` trajectory slots concatenated channel-wise and embedded with a
+  single Dense (the reference's per-timestep Python loop in
+  ``ViewportEmbedding.forward``, ``mtio.py:40-44``, is a plain time-distributed
+  linear — one einsum here);
+* sinusoidal positional encoding with dropout (``mtio.py:10-29``);
+* the shuffle/repeat multi-slot training trick (``mtio.py:72-90``, after
+  arXiv:2010.06610) under an explicit PRNG key;
+* autoregressive decode of ``fut_window`` steps as a ``lax.scan`` over a
+  fixed-size target buffer instead of the reference's growing-concat loop
+  (``mtio.py:117-131, 158-164``).  With a causal self-attention mask, step t's
+  decoder output at position t is independent of the not-yet-written positions
+  > t, so the padded-buffer scan is exactly equivalent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.models.transformer import Transformer, causal_mask
+from mansy_immersivevideostreaming_tpu.ops.geometry import periodic_mse, wrap_position
+
+
+def sinusoidal_pe(max_len: int, d_model: int) -> jnp.ndarray:
+    """Classic sin/cos table [max_len, d_model]; reference ``mtio.py:17-24``."""
+    position = jnp.arange(max_len)[:, None].astype(jnp.float32)
+    div = jnp.exp(jnp.arange(0, d_model, 2).astype(jnp.float32)
+                  * -(math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model))
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+class ViewportTransformerMTIO(nn.Module):
+    """See module docstring.  Defaults mirror reference ``run_models.py``
+    (d_model=hidden_dim=512, 2+2 layers, in_channel=2, num_head=3,
+    fut_window=15, PE dropout 0.2, repeat_prob 0.5)."""
+    in_channel: int = 2
+    fut_window: int = 15
+    d_model: int = 512
+    dim_feedforward: int = 512
+    num_head: int = 3
+    num_encoder_layers: int = 2
+    num_decoder_layers: int = 2
+    dropout: float = 0.2
+    repeat_prob: float = 0.5
+
+    def setup(self):
+        self.embedding = nn.Dense(self.d_model)
+        self.transformer = Transformer(
+            d_model=self.d_model, num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            dim_feedforward=self.dim_feedforward)
+        self.predictor = nn.Dense(self.in_channel * self.num_head)
+        self.pe = sinusoidal_pe(5000, self.d_model)
+        self.pe_dropout = nn.Dropout(self.dropout)
+
+    def _embed(self, x, deterministic: bool):
+        """Dense embed + positional encoding + PE dropout
+        (reference ``mtio.py:139-144``)."""
+        h = self.embedding(x) + self.pe[None, : x.shape[1]]
+        return self.pe_dropout(h, deterministic=deterministic)
+
+    def _predict_coords(self, h):
+        return nn.sigmoid(self.predictor(h))
+
+    def _decode_autoregressive(self, memory, current, deterministic: bool):
+        """fut_window-step decode over a fixed [B, 1+F, C] buffer.
+
+        Equivalent to reference ``_process_src_current`` (``mtio.py:150-166``)
+        and the decode loop of ``sample`` (``mtio.py:117-131``).
+        Returns the raw multi-head predictions [B, F, C].
+        """
+        B = current.shape[0]
+        F = self.fut_window
+        C = self.in_channel * self.num_head
+        buf0 = jnp.zeros((B, 1 + F, C), current.dtype).at[:, 0].set(current[:, 0])
+        mask = causal_mask(1 + F)
+
+        def step(buf, t):
+            tgt = self._embed(buf, deterministic)
+            out = self.transformer.decode(tgt, memory, mask, deterministic)
+            pred = self._predict_coords(out[:, t])
+            buf = jax.lax.dynamic_update_slice(buf, pred[:, None, :], (0, t + 1, 0))
+            return buf, pred
+
+        # nn.scan would be needed for scanning a method with dropout RNG;
+        # a python loop over the static fut_window keeps exact semantics and
+        # unrolls into one XLA graph (F <= ~15).
+        preds = []
+        buf = buf0
+        for t in range(F):
+            buf, pred = step(buf, t)
+            preds.append(pred)
+        return jnp.stack(preds, axis=1)
+
+    def __call__(self, history, current, future, train: bool = True):
+        """Training forward; reference ``mtio.py:65-92``.
+
+        history [B, M, C_in], current [B, 1, C_in], future [B, F, C_in].
+        Returns (pred [B, F, C_in*num_head], gt [B, F, C_in*num_head]).
+        Uses the 'shuffle' rng stream for the multi-slot trick and 'dropout'
+        for dropout when ``train``.
+        """
+        if train:
+            key = self.make_rng("shuffle")
+            k_choice, k_perm = jax.random.split(key)
+            B = history.shape[0]
+            perms = jax.random.permutation(
+                k_perm, jnp.tile(jnp.arange(B), (self.num_head - 1, 1)),
+                axis=1, independent=True)
+            repeat = jax.random.uniform(k_choice) < self.repeat_prob
+            idx0 = jnp.tile(jnp.arange(B), (self.num_head - 1, 1))
+            perms = jnp.where(repeat, idx0, perms)
+
+            def slots(x):
+                extra = [x[perms[i]] for i in range(self.num_head - 1)]
+                return jnp.concatenate([x] + extra, axis=-1)
+
+            multi_history = slots(history)
+            multi_current = slots(current)
+            multi_future = slots(future)
+        else:
+            multi_history = jnp.tile(history, (1, 1, self.num_head))
+            multi_current = jnp.tile(current, (1, 1, self.num_head))
+            multi_future = jnp.tile(future, (1, 1, self.num_head))
+
+        deterministic = not train
+        src = self._embed(multi_history, deterministic)
+        memory = self.transformer.encode(src, deterministic)
+        pred = self._decode_autoregressive(memory, multi_current, deterministic)
+        return pred, multi_future
+
+    def loss_function(self, pred, gt):
+        """Sum over heads of mean periodic MSE; reference ``mtio.py:94-104``."""
+        loss = 0.0
+        for i in range(self.num_head):
+            sl = slice(i * self.in_channel, (i + 1) * self.in_channel)
+            loss = loss + jnp.mean(periodic_mse(pred[:, :, sl], gt[:, :, sl]))
+        return loss
+
+    def sample(self, history, current):
+        """Inference: all slots = the input trajectory, per-step ensemble mean
+        of the heads, wrapped into [0,1]^2; reference ``mtio.py:106-133``."""
+        multi_history = jnp.tile(history, (1, 1, self.num_head))
+        multi_current = jnp.tile(current, (1, 1, self.num_head))
+        src = self._embed(multi_history, True)
+        memory = self.transformer.encode(src, True)
+        pred = self._decode_autoregressive(memory, multi_current, True)
+        # ensemble average over heads per coordinate (reference mtio.py:125-129)
+        B, F, _ = pred.shape
+        heads = pred.reshape(B, F, self.num_head, self.in_channel)
+        ens = jnp.mean(heads, axis=2)
+        return wrap_position(ens)

@@ -1,0 +1,88 @@
+"""Training/evaluation harness for viewport-prediction models.
+
+Jitted AdamW train/valid steps replacing the reference's torch loop
+(reference ``viewport_prediction/run_models.py:17-67``).  Data parallelism is
+plain SPMD: shard the batch over a mesh's ``data`` axis, keep params
+replicated, and the jitted step runs on every device with XLA-inserted grad
+all-reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mansy_immersivevideostreaming_tpu.models.mtio import ViewportTransformerMTIO
+from mansy_immersivevideostreaming_tpu.ops.geometry import periodic_mse
+
+
+class VPTrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.01) -> optax.GradientTransformation:
+    """AdamW with torch defaults (reference ``run_models.py:29``)."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+
+
+def create_train_state(model: ViewportTransformerMTIO, rng: jax.Array,
+                       his_window: int, optimizer: optax.GradientTransformation,
+                       batch_size: int = 2) -> VPTrainState:
+    dummy_h = jnp.zeros((batch_size, his_window, model.in_channel))
+    dummy_c = jnp.zeros((batch_size, 1, model.in_channel))
+    dummy_f = jnp.zeros((batch_size, model.fut_window, model.in_channel))
+    variables = model.init(
+        {"params": rng, "dropout": rng, "shuffle": rng},
+        dummy_h, dummy_c, dummy_f, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return VPTrainState(params=params, batch_stats=batch_stats,
+                        opt_state=optimizer.init(params), step=jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def train_step(model: ViewportTransformerMTIO,
+               optimizer: optax.GradientTransformation,
+               state: VPTrainState, batch: Dict[str, jnp.ndarray],
+               rng: jax.Array) -> Tuple[VPTrainState, jnp.ndarray]:
+    """One AdamW step on the MTIO loss (reference ``run_models.py:37-45``)."""
+    k_drop, k_shuf = jax.random.split(jax.random.fold_in(rng, state.step))
+
+    def loss_fn(params):
+        (pred, gt), mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["history"], batch["current"], batch["future"], train=True,
+            rngs={"dropout": k_drop, "shuffle": k_shuf},
+            mutable=["batch_stats"])
+        return model.loss_function(pred, gt), mutated["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return VPTrainState(new_params, new_stats, new_opt, state.step + 1), loss
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sample_step(model: ViewportTransformerMTIO, state: VPTrainState,
+                history: jnp.ndarray, current: jnp.ndarray) -> jnp.ndarray:
+    """Batched autoregressive inference (reference ``mtio.py:106-133``)."""
+    return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                       history, current, method=ViewportTransformerMTIO.sample)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def valid_step(model: ViewportTransformerMTIO, state: VPTrainState,
+               batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Mean periodic MSE of sampled predictions (reference
+    ``run_models.py:52-58``)."""
+    pred = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                       batch["history"], batch["current"],
+                       method=ViewportTransformerMTIO.sample)
+    return jnp.mean(periodic_mse(pred, batch["future"]))

@@ -1,0 +1,3 @@
+from mansy_immersivevideostreaming_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, data_parallel_sharding,
+)

@@ -1,0 +1,82 @@
+"""QoE-preference identifier: training + reward shaping.
+
+MANSY's representation-learning signal (reference
+``utils/mansy_utils.py:9-49`` and ``models/mansy_ppo.py:36-59``): the
+identifier predicts the normalized QoE preference from (obs, action one-hot);
+the policy's reward is shaped toward behavior that *reveals* its assigned
+preference.  The reference recomputes the identifier reward with a separate
+batch-of-1 forward per transition (``mansy_ppo.py:43-48``); here the whole
+buffer is one batched forward.
+
+As in the reference, the action fed to the identifier is the one-hot stored
+*inside* the observation, i.e. the previous step's action
+(``mansy_ppo.py:44-45`` reads ``obs.action_one_hot``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def identifier_rewards(apply_fn: Callable, params: Any,
+                       obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """1 - MSE(identifier(obs), qoe_weight) per transition
+    (reference ``mansy_utils.py:42-49``).  obs leaves are [B, ...]."""
+    pred = apply_fn(params, obs)
+    mse = jnp.mean((pred - obs["qoe_weight"]) ** 2, axis=-1)
+    return 1.0 - mse
+
+
+def shape_rewards(qoe_rewards: jnp.ndarray, id_rewards: jnp.ndarray,
+                  lamb: float) -> jnp.ndarray:
+    """reward <- (1-λ)·qoe + λ·identifier (reference ``mansy_ppo.py:48``)."""
+    return (1.0 - lamb) * qoe_rewards + lamb * id_rewards
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4), donate_argnums=(2, 3))
+def _identifier_rounds(apply_fn: Callable, optimizer: optax.GradientTransformation,
+                       params: Any, opt_state: Any, rounds: int,
+                       obs: Dict[str, jnp.ndarray]):
+    """``rounds`` full-batch MSE steps (reference ``mansy_utils.py:24-31``)."""
+    def step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            pred = apply_fn(p, obs)
+            return jnp.mean((pred - obs["qoe_weight"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                               None, length=rounds)
+    return params, opt_state, losses
+
+
+def train_identifier_on_buffer(apply_fn: Callable,
+                               optimizer: optax.GradientTransformation,
+                               params: Any, opt_state: Any,
+                               obs: Dict[str, jnp.ndarray],
+                               key: jax.Array, update_round: int = 2,
+                               train_ratio: float = 0.8):
+    """80/20-shuffled identifier training over the fresh trajectory buffer
+    (reference ``mansy_utils.py:9-39``).  Returns
+    (params, opt_state, train_losses, valid_loss)."""
+    n = obs["qoe_weight"].shape[0]
+    perm = jax.random.permutation(key, n)
+    n_train = int(n * train_ratio)
+    train_obs = jax.tree_util.tree_map(lambda x: x[perm[:n_train]], obs)
+    valid_obs = jax.tree_util.tree_map(lambda x: x[perm[n_train:]], obs)
+    params, opt_state, losses = _identifier_rounds(
+        apply_fn, optimizer, params, opt_state, update_round, train_obs)
+    pred = apply_fn(params, valid_obs)
+    valid_loss = jnp.mean((pred - valid_obs["qoe_weight"]) ** 2)
+    return params, opt_state, losses, valid_loss

@@ -1,0 +1,166 @@
+"""Shared machinery for the RL CLIs (run_mansy / run_simple_rl).
+
+Covers what tianshou's Collector/Trainer + the reference env CSV loggers did:
+split resolution -> device tables, vectorized evaluation over the cartesian
+test grid, episode-log CSV writing in the reference's exact format
+(reference ``envs/mansy_env.py:271-290``), and the summary table printer
+(reference ``utils/common.py:196-218``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.config import Config
+from mansy_immersivevideostreaming_tpu.sim.env import (
+    generate_environment_samples, generate_environment_test_samples, reset_env,
+    step_env,
+)
+from mansy_immersivevideostreaming_tpu.sim.tables import SimTables, build_sim_tables
+from mansy_immersivevideostreaming_tpu.utils.logging import ascii_table
+
+# Upper bound on episode length in chunks: videos are <= 60 s, 1 s chunks,
+# start at chunk 6 -> at most 55 steps (see reference config.yml:30-59).
+MAX_EPISODE_STEPS = 60
+
+
+def build_split(config: Config, dataset: str, network_dataset: str, mode: str,
+                qoe_weights: Sequence[Sequence[float]],
+                test_grid: bool = False):
+    """Returns (tables, samples, videos, users, traces) for a split."""
+    videos = list(config.video_split[dataset][mode])
+    users = list(config.user_split[dataset][mode])
+    traces = list(config.network_split[network_dataset][mode])
+    tables = build_sim_tables(config, dataset, network_dataset, videos, users,
+                              traces, qoe_weights)
+    if test_grid:
+        samples = generate_environment_test_samples(
+            len(videos), len(users), len(traces), len(qoe_weights))
+    else:
+        samples = generate_environment_samples(
+            len(videos), len(users), len(traces), len(qoe_weights))
+    return tables, jnp.asarray(samples), videos, users, traces
+
+
+def episode_log_rows(logs, videos: Sequence[int], users: Sequence[int],
+                     traces: Sequence[int],
+                     qoe_weights: Sequence[Sequence[float]]) -> List[str]:
+    """Format finished-episode records as reference CSV rows
+    (``mansy_env.py:277-284``: means rounded to 5 digits, qoe normalized)."""
+    done = np.asarray(logs.done)
+    rows = []
+    idx = np.argwhere(done)
+    for t, n in idx:
+        w = qoe_weights[int(np.asarray(logs.qoe_id)[t, n])]
+        rows.append(
+            f"{videos[int(np.asarray(logs.video)[t, n])]},"
+            f"{users[int(np.asarray(logs.user)[t, n])]},"
+            f"{traces[int(np.asarray(logs.trace)[t, n])]},"
+            f"{float(w[0])},{float(w[1])},{float(w[2])},"
+            f"{round(float(np.asarray(logs.qoe)[t, n]), 5)},"
+            f"{round(float(np.asarray(logs.qoe1)[t, n]), 5)},"
+            f"{round(float(np.asarray(logs.qoe2)[t, n]), 5)},"
+            f"{round(float(np.asarray(logs.qoe3)[t, n]), 5)}")
+    return rows
+
+
+def append_episode_logs(path: str, rows: List[str]) -> None:
+    if not rows:
+        return
+    new = not os.path.exists(path)
+    with open(path, "a", encoding="utf-8") as f:
+        if new:
+            f.write("video,user,trace,qoe_w1,qoe_w2,qoe_w3,qoe,qoe1,qoe2,qoe3\n")
+        for r in rows:
+            f.write(r + "\n")
+
+
+def evaluate(apply_fn: Callable, params, tables: SimTables,
+             samples: jnp.ndarray, observe_fn: Callable, key: jax.Array,
+             lane_chunk: int = 512):
+    """Run every sample episode exactly once; returns stacked LogRecord
+    [T, S] plus a per-sample first-done mask [T, S].
+
+    Vectorized replacement for the reference's serial batch-of-1 test loop
+    (reference ``run_mansy.py:161-175``): each sample gets a lane; lanes run
+    to MAX_EPISODE_STEPS with auto-reset, and only each lane's first
+    episode-end record is kept.
+    """
+    S = samples.shape[0]
+    all_logs = []
+    all_masks = []
+    for s0 in range(0, S, lane_chunk):
+        sub = samples[s0: s0 + lane_chunk]
+        n = sub.shape[0]
+
+        @jax.jit
+        def run(params, key):
+            states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
+
+            def body(carry, _):
+                states, key = carry
+                key, k_act = jax.random.split(key)
+                obs = jax.vmap(lambda s: observe_fn(tables, s))(states)
+                logits, _ = apply_fn(params, obs)
+                action = jax.random.categorical(k_act, logits)
+                new_states, _, done, log = jax.vmap(
+                    lambda s, a: step_env(tables, sub, s, a, n, False)
+                )(states, action)
+                return (new_states, key), log
+
+            _, logs = jax.lax.scan(body, (states, key), None,
+                                   length=MAX_EPISODE_STEPS)
+            return logs
+
+        logs = run(params, jax.random.fold_in(key, s0))
+        done = np.asarray(logs.done)
+        first = np.zeros_like(done)
+        seen = np.zeros(n, bool)
+        for t in range(done.shape[0]):
+            newly = done[t] & ~seen
+            first[t] = newly
+            seen |= done[t]
+        all_logs.append(logs)
+        all_masks.append(first)
+    return all_logs, all_masks
+
+
+def masked_log_rows(all_logs, all_masks, videos, users, traces, qoe_weights):
+    rows: List[str] = []
+    for logs, mask in zip(all_logs, all_masks):
+        class _L:  # LogRecord view with done replaced by the first-done mask
+            pass
+        l = _L()
+        for f in logs._fields:
+            setattr(l, f, getattr(logs, f))
+        l.done = jnp.asarray(mask)
+        rows.extend(episode_log_rows(l, videos, users, traces, qoe_weights))
+    return rows
+
+
+def read_log_file(log_path: str) -> Dict[str, float]:
+    """Print the reference's summary table and return the means
+    (reference ``utils/common.py:196-218``)."""
+    rows = []
+    sums = np.zeros(4)
+    with open(log_path, "r", encoding="utf-8") as f:
+        f.readline()
+        for line in f:
+            parts = line.strip().split(",")
+            video, user, trace = map(int, parts[:3])
+            vals = list(map(float, parts[3:]))
+            rows.append([video, user, trace] + vals)
+            sums += np.asarray(vals[3:])
+    n = len(rows)
+    means = sums / n
+    rows.append([-1, -1, -1, -1, -1, -1] + list(means))
+    print(ascii_table(
+        ["video", "user", "trace", "qoe_w1", "qoe_w2", "qoe_3",
+         "qoe", "qoe1", "qoe2", "qoe3"], rows))
+    return {"qoe": means[0], "qoe1": means[1], "qoe2": means[2], "qoe3": means[3]}

@@ -114,6 +114,8 @@ class LogRecord(NamedTuple):
     qoe1: jnp.ndarray
     qoe2: jnp.ndarray
     qoe3: jnp.ndarray
+    ret: jnp.ndarray    # episode return: sum of raw per-chunk qoe
+    steps: jnp.ndarray  # episode length in chunks
 
 
 def reset_env(tables: SimTables, samples: jnp.ndarray,
@@ -262,6 +264,7 @@ def step_env(tables: SimTables, samples: jnp.ndarray, state: EnvState,
         qoe=stepped.ep_qoe / n / jnp.sum(weights),
         qoe1=stepped.ep_qoe1 / n, qoe2=stepped.ep_qoe2 / n,
         qoe3=stepped.ep_qoe3 / n,
+        ret=stepped.ep_qoe, steps=stepped.ep_steps,
     )
 
     fresh = reset_env(tables, samples, state.next_sample, stride)

@@ -1,0 +1,121 @@
+"""Tests for the MTIO model: shapes, scan-decode equivalence, training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.models import (
+    ViewportTransformerMTIO, linear_regression_sample,
+)
+from mansy_immersivevideostreaming_tpu.models.vp_train import (
+    create_train_state, make_optimizer, train_step, valid_step, sample_step,
+)
+
+MODEL = ViewportTransformerMTIO(d_model=32, dim_feedforward=32, fut_window=5)
+
+
+@pytest.fixture(scope="module")
+def state():
+    opt = make_optimizer(1e-3)
+    return create_train_state(MODEL, jax.random.PRNGKey(0), his_window=5,
+                              optimizer=opt), opt
+
+
+def _batch(rng, B=4, M=5, F=5):
+    return {
+        "history": jnp.asarray(rng.random((B, M, 2), np.float32)),
+        "current": jnp.asarray(rng.random((B, 1, 2), np.float32)),
+        "future": jnp.asarray(rng.random((B, F, 2), np.float32)),
+    }
+
+
+def test_shapes_and_sample_range(state):
+    st, _ = state
+    rng = np.random.default_rng(0)
+    b = _batch(rng)
+    out = sample_step(MODEL, st, b["history"], b["current"])
+    assert out.shape == (4, 5, 2)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_decode_matches_growing_prefix(state):
+    """The fixed-buffer scan decode must equal a growing-prefix decode."""
+    st, _ = state
+    rng = np.random.default_rng(1)
+    b = _batch(rng)
+
+    fast = sample_step(MODEL, st, b["history"], b["current"])
+
+    # Reference-style growing-prefix decode reusing the same trained modules.
+    from mansy_immersivevideostreaming_tpu.models.transformer import causal_mask
+
+    def slow_sample(variables, history, current):
+        model = MODEL
+
+        def run(mdl):
+            mh = jnp.tile(history, (1, 1, mdl.num_head))
+            mc = jnp.tile(current, (1, 1, mdl.num_head))
+            src = mdl._embed(mh, True)
+            memory = mdl.transformer.encode(src, True)
+            tgt = mc
+            outs = []
+            for _ in range(mdl.fut_window):
+                L = tgt.shape[1]
+                emb = mdl._embed(tgt, True)
+                out = mdl.transformer.decode(emb, memory, causal_mask(L), True)
+                pred = mdl._predict_coords(out[:, -1])
+                tgt = jnp.concatenate([tgt, pred[:, None, :]], axis=1)
+                outs.append(pred)
+            preds = jnp.stack(outs, axis=1)
+            B, F, _ = preds.shape
+            heads = preds.reshape(B, F, mdl.num_head, mdl.in_channel)
+            from mansy_immersivevideostreaming_tpu.ops.geometry import wrap_position
+            return wrap_position(jnp.mean(heads, axis=2))
+
+        return jax.jit(lambda v: model.apply(v, method=lambda m: run(m)))(variables)
+
+    slow = slow_sample({"params": st.params, "batch_stats": st.batch_stats},
+                       b["history"], b["current"])
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_decreases_loss(state):
+    st, opt = state
+    # train_step donates its input state; work on a copy so the shared
+    # fixture stays alive for other tests
+    st = jax.tree_util.tree_map(jnp.copy, st)
+    rng = np.random.default_rng(2)
+    b = _batch(rng, B=16)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        st, loss = train_step(MODEL, opt, st, b, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_valid_step_finite(state):
+    st, _ = state
+    rng = np.random.default_rng(3)
+    b = _batch(rng, B=8)
+    mse = valid_step(MODEL, st, b)
+    assert np.isfinite(float(mse))
+
+
+def test_linear_regression_matches_polyfit():
+    rng = np.random.default_rng(4)
+    h = rng.random((6, 5, 2)).astype(np.float32)
+    c = rng.random((6, 1, 2)).astype(np.float32)
+    got = np.asarray(linear_regression_sample(jnp.asarray(h), jnp.asarray(c), 4))
+    merge = np.concatenate([h, c], axis=1)
+    t = np.arange(6)
+    tf = np.arange(6, 10)
+    for i in range(6):
+        for a in range(2):
+            coef = np.polyfit(t, merge[i, :, a], 1)
+            want = coef[0] * tf + coef[1]
+            np.testing.assert_allclose(got[i, :, a], want, rtol=1e-3, atol=1e-4)
