@@ -1,0 +1,244 @@
+"""MPC expert CLI: demonstration generation + direct evaluation.
+
+TPU-native equivalent of reference ``bitrate_selection/run_expert.py``.  The
+reference fans episodes out over a ``multiprocessing.Pool`` and runs a
+50,625-sequence Python loop per chunk (``run_expert.py:68-73``,
+``expert_env.py:358-422``); here episodes run as vmapped lanes and the
+sequence search is a single vmapped scan on device.
+
+Demonstrations are saved as plain numpy pytrees
+``{(video, user, trace, qoe_weights): {"obs": {...}, "act": [...]}}`` —
+structurally equivalent to the reference's pickled tianshou ReplayBuffers
+(``run_expert.py:35-39``) without the tianshou dependency.
+
+Examples::
+
+    python -m mansy_immersivevideostreaming_tpu.cli.run_expert \
+        --train-dataset Jin2022 --train --valid --horizon 4
+    python -m mansy_immersivevideostreaming_tpu.cli.run_expert \
+        --test-dataset Jin2022 --test --horizon 2 --qoe-test-ids 3 --test-on-seen
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.config import load_config
+from mansy_immersivevideostreaming_tpu.rl import runner
+from mansy_immersivevideostreaming_tpu.sim.env import (
+    observe_mansy, reset_env, step_env,
+)
+from mansy_immersivevideostreaming_tpu.sim.expert import (
+    ExpertTables, action_sequences, build_expert_tables, choose_action,
+)
+from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+
+
+def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
+    """Build or load the profiling tables (reference caches them to a pickle,
+    ``expert_env.py:100-110``)."""
+    if cache_path and os.path.exists(cache_path) and not refresh:
+        with open(cache_path, "rb") as f:
+            data = pickle.load(f)
+        print("Load expert cache from", cache_path)
+        return ExpertTables(*(jnp.asarray(v) for v in data))
+    t0 = time.time()
+    et = build_expert_tables(tables)
+    print(f"Profiled expert tables in {time.time() - t0:.1f}s")
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump([np.asarray(v) for v in et], f)
+        print("Save expert cache at", cache_path)
+    return et
+
+
+def run_expert_episodes(tables, etables, samples, horizon: int,
+                        lane_chunk: int = 64, collect_obs: bool = False):
+    """Run each sample's episode once under the MPC expert.
+
+    Returns a list of per-chunk results: (logs, first_done_mask, obs?, acts?).
+    """
+    seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
+    S = samples.shape[0]
+    out = []
+    for s0 in range(0, S, lane_chunk):
+        sub = samples[s0: s0 + lane_chunk]
+        n = sub.shape[0]
+
+        @jax.jit
+        def run(sub):
+            states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
+
+            def body(states, _):
+                obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+                actions = jax.vmap(
+                    lambda s: choose_action(tables, etables, s, seqs))(states)
+                new_states, _, done, log = jax.vmap(
+                    lambda s, a: step_env(tables, sub, s, a, n, False)
+                )(states, actions)
+                payload = (actions, done, log) + ((obs,) if collect_obs else ())
+                return new_states, payload
+
+            _, payload = jax.lax.scan(body, states, None,
+                                      length=runner.MAX_EPISODE_STEPS)
+            return payload
+
+        payload = run(sub)
+        actions, done, log = payload[0], payload[1], payload[2]
+        done_np = np.asarray(done)
+        first = np.zeros_like(done_np)
+        seen = np.zeros(n, bool)
+        for t in range(done_np.shape[0]):
+            first[t] = done_np[t] & ~seen
+            seen |= done_np[t]
+        out.append((log, first, np.asarray(actions),
+                    payload[3] if collect_obs else None))
+    return out
+
+
+def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
+                          cache_path, mode="train"):
+    log_path = os.path.join(models_dir, f"{mode}_log.csv")
+    demo_path = os.path.join(demos_dir, f"{mode}_demonstrations.pkl")
+    if os.path.exists(log_path):
+        os.remove(log_path)
+
+    tables, samples, videos, users, traces = runner.build_split(
+        config, args.train_dataset, args.network_dataset, mode, qoe_weights)
+    etables = get_expert_tables(tables, cache_path, args.refresh_cache)
+    print("Total samples:", samples.shape[0])
+
+    t0 = time.time()
+    chunks = run_expert_episodes(tables, etables, samples, args.horizon,
+                                 lane_chunk=args.lane_chunk, collect_obs=True)
+    demos = {}
+    rows = []
+    offset = 0
+    for log, first, actions, obs in chunks:
+        n = first.shape[1]
+        for lane in range(n):
+            ts = np.argwhere(first[:, lane])
+            if len(ts) == 0:
+                continue
+            t_end = int(ts[0][0])
+            sample = np.asarray(samples[offset + lane])
+            key = (videos[sample[0]], users[sample[1]], traces[sample[2]],
+                   tuple(int(w) for w in qoe_weights[sample[3]]))
+            lane_obs = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[: t_end + 1, lane], obs)
+            demos[key] = {"obs": lane_obs, "act": actions[: t_end + 1, lane]}
+        rows.extend(runner.masked_log_rows([log], [first], videos, users,
+                                           traces, qoe_weights))
+        offset += n
+    runner.append_episode_logs(log_path, rows)
+    os.makedirs(demos_dir, exist_ok=True)
+    with open(demo_path, "wb") as f:
+        pickle.dump(demos, f)
+    print(f"Create {len(demos)} demonstrations, saved at {demo_path}, "
+          f"cost {round((time.time() - t0) / 3600, 4)}h")
+
+
+def test(args, config, qoe_weights, results_dir, cache_path):
+    log_path = os.path.join(results_dir, "results.csv")
+    if os.path.exists(log_path):
+        os.remove(log_path)
+    tables, samples, videos, users, traces = runner.build_split(
+        config, args.test_dataset, args.network_dataset, "test", qoe_weights,
+        test_grid=True)
+    etables = get_expert_tables(tables, cache_path, args.refresh_cache)
+    t0 = time.time()
+    chunks = run_expert_episodes(tables, etables, samples, args.horizon,
+                                 lane_chunk=args.lane_chunk)
+    rows = []
+    for log, first, _, _ in chunks:
+        rows.extend(runner.masked_log_rows([log], [first], videos, users,
+                                           traces, qoe_weights))
+    runner.append_episode_logs(log_path, rows)
+    print(f"Tested {len(rows)} episodes in {time.time() - t0:.1f}s")
+    runner.read_log_file(log_path)
+
+
+def run(args, config):
+    seed_everything(args.seed)
+    if args.qoe_train_ids is None:
+        args.qoe_train_ids = list(range(len(config.qoe_split["train"])))
+    split = "train" if args.test_on_seen else "test"
+    if args.qoe_test_ids is None:
+        args.qoe_test_ids = list(range(len(config.qoe_split[split])))
+
+    models_dir = os.path.join(config.bs_models_dir, args.model,
+                              args.train_dataset + "_" + args.network_dataset,
+                              "qoe" + "_".join(map(str, args.qoe_train_ids)))
+    demos_dir = models_dir
+    seen = "seen" if args.test_on_seen else "unseen"
+    results_dir = os.path.join(config.bs_results_dir, args.model,
+                               args.test_dataset + "_" + args.network_dataset,
+                               f"{seen}_qoe" + "_".join(map(str, args.qoe_test_ids)))
+    train_cache = os.path.join(config.bs_models_dir, args.model,
+                               f"{args.train_dataset}_cache.pkl")
+    test_cache = os.path.join(config.bs_models_dir, args.model,
+                              f"{args.test_dataset}_test_cache.pkl")
+    os.makedirs(models_dir, exist_ok=True)
+    os.makedirs(results_dir, exist_ok=True)
+
+    if args.train:
+        qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
+        print("Training QoE weights:", qoe_weights)
+        create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
+                              train_cache, "train")
+    if args.valid:
+        qoe_weights = [config.qoe_split["valid"][i] for i in args.qoe_train_ids]
+        print("Validating QoE weights:", qoe_weights)
+        create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
+                              train_cache, "valid")
+    if args.test:
+        qoe_weights = [config.qoe_split[split][i] for i in args.qoe_test_ids]
+        print("Testing QoE weights:", qoe_weights)
+        test(args, config, qoe_weights, results_dir, test_cache)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="expert")
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--valid", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--test-on-seen", action="store_true")
+    parser.add_argument("--train-dataset", type=str, default="Jin2022")
+    parser.add_argument("--test-dataset", type=str, default="Jin2022")
+    parser.add_argument("--network-dataset", type=str, default="4G")
+    parser.add_argument("--qoe-train-ids", type=int, nargs="*")
+    parser.add_argument("--qoe-test-ids", type=int, nargs="*")
+    parser.add_argument("--proc-num", type=int, default=None,
+                        help="accepted for reference-CLI compatibility "
+                             "(episodes are vmapped lanes, not processes)")
+    parser.add_argument("--lane-chunk", type=int, default=64,
+                        help="episodes evaluated concurrently")
+    parser.add_argument("--horizon", type=int, default=4)
+    parser.add_argument("--refresh-cache", action="store_true")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--config-yml", type=str, default=None)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    print(args)
+    config = load_config(args.config_yml)
+    run(args, config)
+
+
+if __name__ == "__main__":
+    main()

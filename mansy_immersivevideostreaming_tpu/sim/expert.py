@@ -1,0 +1,145 @@
+"""MPC expert: per-chunk action profiling tables + vmapped lookahead search.
+
+Rebuild of the reference ``ExpertEnv`` (reference
+``bitrate_selection/envs/expert_env.py``):
+
+* ``_profile_viewport_qualities_sizes`` (``expert_env.py:127-182``): for every
+  (video, user, chunk, action) precompute viewport quality, intra-viewport
+  variance and chunk size under pyramid allocation — for both the gt-allocated
+  and pred-allocated variants (both *evaluated* on the gt viewport, exactly as
+  the reference does at ``expert_env.py:160-172``).  The reference loops on
+  the host and pickles a cache; here it is one vmapped device computation.
+* ``choose_action`` (``expert_env.py:358-422``): enumerate all
+  ``action_space ** horizon`` action sequences (same digit order as
+  ``_proflie_all_possible_bitrates``, ``expert_env.py:113-125``), roll each
+  forward virtually with the real network/buffer state, sum QoE, take the
+  first argmax.  The reference's 50,625-sequence Python loop becomes a vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mansy_immersivevideostreaming_tpu.ops.allocation import (
+    ACTION_TO_RATES, allocate_tile_rates,
+)
+from mansy_immersivevideostreaming_tpu.sim.env import EnvState
+from mansy_immersivevideostreaming_tpu.sim.simulator import (
+    NetState, push_chunk, simulate_download_bytes,
+)
+from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
+
+
+class ExpertTables(NamedTuple):
+    """[V, U, C, A] profiling tables (A = action space)."""
+    gt_quality: jnp.ndarray
+    gt_intra: jnp.ndarray
+    gt_size: jnp.ndarray
+    pred_quality: jnp.ndarray
+    pred_intra: jnp.ndarray
+    pred_size: jnp.ndarray
+
+
+def build_expert_tables(tables: SimTables) -> ExpertTables:
+    """Vmapped device equivalent of the reference's profiling loop."""
+    V, U, C, T = tables.gt.shape
+    A = ACTION_TO_RATES.shape[0]
+    actions = jnp.asarray(ACTION_TO_RATES)  # [A, 2]
+    tile_idx = jnp.arange(T)
+
+    def per_action(alloc_vp, gt_vp, sizes_c, quals_c, act):
+        versions, _ = allocate_tile_rates(act[0], act[1], alloc_vp)
+        sz = jnp.sum(sizes_c[versions, tile_idx])
+        q = quals_c[versions, tile_idx]
+        vp_sum = jnp.sum(gt_vp)
+        quality = jnp.sum(gt_vp * q) / vp_sum
+        intra = jnp.sum(gt_vp * jnp.abs(q - quality)) / vp_sum
+        return quality, intra, sz
+
+    def per_chunk(v, u, c):
+        gt_vp = tables.gt[v, u, c]
+        pred_vp = tables.pred[v, u, c]
+        sizes_c = tables.sizes[v, c]
+        quals_c = tables.qualities[v, c]
+        gt_q, gt_i, gt_s = jax.vmap(
+            lambda a: per_action(gt_vp, gt_vp, sizes_c, quals_c, a))(actions)
+        p_q, p_i, p_s = jax.vmap(
+            lambda a: per_action(pred_vp, gt_vp, sizes_c, quals_c, a))(actions)
+        return gt_q, gt_i, gt_s, p_q, p_i, p_s
+
+    vs, us, cs = jnp.meshgrid(jnp.arange(V), jnp.arange(U), jnp.arange(C),
+                              indexing="ij")
+    flat = jax.jit(jax.vmap(per_chunk))(vs.reshape(-1), us.reshape(-1),
+                                        cs.reshape(-1))
+    shaped = tuple(x.reshape(V, U, C, A) for x in flat)
+    return ExpertTables(gt_quality=shaped[0], gt_intra=shaped[1],
+                        gt_size=shaped[2], pred_quality=shaped[3],
+                        pred_intra=shaped[4], pred_size=shaped[5])
+
+
+@functools.lru_cache(maxsize=None)
+def action_sequences(horizon: int, action_space: int = 15) -> np.ndarray:
+    """[A^h, h]; sequence i's step-j action is (i // A^j) % A, matching the
+    reference's digit expansion (``expert_env.py:113-125``)."""
+    n = action_space ** horizon
+    i = np.arange(n)
+    return np.stack([(i // action_space ** j) % action_space
+                     for j in range(horizon)], axis=1).astype(np.int32)
+
+
+def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
+                  seqs: jnp.ndarray) -> jnp.ndarray:
+    """Best first action by horizon-step virtual rollouts
+    (reference ``expert_env.py:358-422``).
+
+    The effective horizon is clamped to the episode end
+    (``expert_env.py:362``) by masking steps past ``end_chunk``.
+    Per sequence the rollout shares the lane's real buffer/network/QoE state
+    and uses the *pred* profiling tables, exactly as the reference.
+    """
+    v, u = state.video, state.user
+    weights = tables.qoe_weights[state.qoe_id]
+    bw_row = tables.bw[state.trace]
+    bw_len = tables.bw_len[state.trace]
+    end_chunk = tables.end_chunk[v, u]
+    horizon = seqs.shape[1]
+
+    def rollout(seq):
+        def body(carry, t):
+            net, buf, prev_q, has_prev, total = carry
+            chunk = state.next_chunk + t
+            valid = chunk <= end_chunk
+            a = seq[t]
+            size = etables.pred_size[v, u, chunk, a]
+            quality = etables.pred_quality[v, u, chunk, a]
+            intra = etables.pred_intra[v, u, chunk, a]
+            new_net, dt = simulate_download_bytes(bw_row, bw_len, net, size)
+            new_buf, rebuf = push_chunk(buf, tables.chunk_length, dt)
+            q_n = quality / tables.max_rate
+            intra_n = intra / tables.max_rate
+            inter = jnp.where(has_prev, jnp.abs(q_n - prev_q), 0.0)
+            qoe = (weights[0] * q_n - weights[1] * rebuf
+                   - weights[2] * (intra_n + inter))
+            carry = (
+                jax.tree_util.tree_map(lambda a_, b_: jnp.where(valid, a_, b_),
+                                       new_net, net),
+                jnp.where(valid, new_buf, buf),
+                jnp.where(valid, q_n, prev_q),
+                jnp.logical_or(has_prev, valid),
+                total + jnp.where(valid, qoe, 0.0),
+            )
+            return carry, None
+
+        init = (state.net, state.buf, state.qoe.prev_quality,
+                state.qoe.has_prev, jnp.float32(0.0))
+        (_, _, _, _, total), _ = jax.lax.scan(body, init, jnp.arange(horizon))
+        return total
+
+    totals = jax.vmap(rollout)(seqs)
+    best = jnp.argmax(totals)
+    return seqs[best, 0]
