@@ -1,0 +1,141 @@
+"""Headline benchmark: ABR rollout collection rate on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "abr_env_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+
+vs_baseline compares against the reference's CPU per-step simulation math
+measured by benchmarks/measure_baseline.py on this machine (BASELINE.md):
+  - host python env math:      2,581 steps/s
+  - torch-CPU MTIO training:   18.3 samples/s  (secondary, stderr)
+
+The ABR benchmark runs the full production path: policy forward (MansyActorCritic)
++ pyramid allocation + trace-download while-loop + QoE + history rolls across
+vmapped env lanes under one jitted scan, on real Jin2022/4G data when
+available (synthetic tables of identical shape otherwise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_ENV_STEPS = 2581.0
+BASELINE_MTIO_SAMPLES = 18.3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_abr(n_lanes=4096, n_steps=128, iters=4):
+    import jax
+    import jax.numpy as jnp
+
+    import mansy_immersivevideostreaming_tpu as mansy
+    from mansy_immersivevideostreaming_tpu.models.abr_nets import MansyActorCritic
+    from mansy_immersivevideostreaming_tpu.rl.rollout import init_lanes, make_collector
+    from mansy_immersivevideostreaming_tpu.sim.env import (
+        generate_environment_samples, observe_mansy,
+    )
+
+    cfg = mansy.default_config()
+    data_ok = os.path.isdir(os.path.join(cfg.datasets_base_dir, "Jin2022"))
+    if data_ok:
+        from mansy_immersivevideostreaming_tpu.sim.tables import build_sim_tables
+        vids = cfg.video_split["Jin2022"]["train"]
+        users = cfg.user_split["Jin2022"]["train"]
+        traces = cfg.network_split["4G"]["train"]
+        tables = build_sim_tables(cfg, "Jin2022", "4G", vids, users, traces,
+                                  cfg.qoe_split["train"])
+        samples = jnp.asarray(generate_environment_samples(
+            len(vids), len(users), len(traces), 4))
+        log(f"[bench] real Jin2022/4G tables: {len(vids)} videos x "
+            f"{len(users)} users x {len(traces)} traces")
+    else:
+        from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+        tables = synthetic_sim_tables(num_videos=8, num_users=8, num_traces=8,
+                                      num_chunks=60, num_qoe=4)
+        samples = jnp.asarray(generate_environment_samples(8, 8, 8, 4))
+        log("[bench] dataset tree unavailable -> synthetic tables")
+
+    policy = MansyActorCritic(hidden_dim=128, action_space=15)
+    t0 = time.time()
+    state0 = init_lanes(tables, samples, n_lanes)
+    obs0 = jax.jit(jax.vmap(lambda s: observe_mansy(tables, s)))(state0)
+    params = jax.jit(policy.init)(jax.random.PRNGKey(0), obs0)["params"]
+    jax.block_until_ready(params)
+    log(f"[bench] abr init: {time.time() - t0:.1f}s")
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+
+    collect = make_collector(apply_fn, observe_mansy, tables, samples,
+                             n_lanes, n_steps, train=True)
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    states, traj, logs, lv = collect(params, state0, key)
+    jax.block_until_ready(traj.reward)
+    log(f"[bench] abr compile+first run: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for i in range(iters):
+        states, traj, logs, lv = collect(params, states, jax.random.fold_in(key, i))
+    jax.block_until_ready(traj.reward)
+    dt = time.time() - t0
+    rate = iters * n_lanes * n_steps / dt
+    log(f"[bench] abr rollout: {n_lanes} lanes x {n_steps} steps x {iters} iters "
+        f"in {dt:.2f}s -> {rate:,.0f} env-steps/s")
+    return rate
+
+
+def bench_mtio(bs=512, iters=6):
+    import jax
+    import jax.numpy as jnp
+
+    from mansy_immersivevideostreaming_tpu.models.mtio import ViewportTransformerMTIO
+    from mansy_immersivevideostreaming_tpu.models import vp_train
+
+    model = ViewportTransformerMTIO(d_model=512, dim_feedforward=512, fut_window=15)
+    optimizer = vp_train.make_optimizer(1e-4)
+    state = vp_train.create_train_state(model, jax.random.PRNGKey(0), 5, optimizer)
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "history": jax.random.uniform(key, (bs, 5, 2)),
+        "current": jax.random.uniform(key, (bs, 1, 2)),
+        "future": jax.random.uniform(key, (bs, 15, 2)),
+    }
+    t0 = time.time()
+    state, loss = vp_train.train_step(model, optimizer, state, batch, key)
+    jax.block_until_ready(loss)
+    log(f"[bench] mtio compile+first step: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        state, loss = vp_train.train_step(model, optimizer, state, batch, key)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    rate = iters * bs / dt
+    log(f"[bench] mtio train: {iters} steps x bs {bs} in {dt:.2f}s "
+        f"-> {rate:,.0f} samples/s (torch-CPU baseline {BASELINE_MTIO_SAMPLES}) "
+        f"=> {rate / BASELINE_MTIO_SAMPLES:,.0f}x")
+    return rate
+
+
+def main():
+    import jax
+    log(f"[bench] devices: {jax.devices()}")
+    abr_rate = bench_abr()
+    try:
+        mtio_rate = bench_mtio()
+    except Exception as e:  # secondary benchmark must not sink the headline
+        log(f"[bench] mtio bench failed: {e!r}")
+        mtio_rate = None
+    print(json.dumps({
+        "metric": "abr_env_steps_per_sec",
+        "value": round(abr_rate, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(abr_rate / BASELINE_ENV_STEPS, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

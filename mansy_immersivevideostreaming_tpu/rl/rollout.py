@@ -28,7 +28,8 @@ def init_lanes(tables: SimTables, samples: jnp.ndarray, n_lanes: int,
     seeds workers at ``seed % worker_num`` and strides by worker count,
     ``mansy_env.py:56,100-101``)."""
     starts = (seed + jnp.arange(n_lanes)) % samples.shape[0]
-    return jax.vmap(lambda s: reset_env(tables, samples, s, n_lanes))(starts)
+    return jax.jit(
+        jax.vmap(lambda s: reset_env(tables, samples, s, n_lanes)))(starts)
 
 
 def make_collector(apply_fn: Callable, observe_fn: Callable,

@@ -49,6 +49,42 @@ class SimTables(NamedTuple):
     action_space: int
 
 
+def synthetic_sim_tables(num_videos: int = 2, num_users: int = 2,
+                         num_traces: int = 2, num_chunks: int = 20,
+                         num_qoe: int = 2, seed: int = 0) -> SimTables:
+    """Small random tables with the real schema — for tests and hermetic
+    multi-chip dry runs (no dataset tree required)."""
+    rng = np.random.default_rng(seed)
+    R, T = 5, 64
+    rates = np.array([1, 5, 8, 16, 35], np.int32)
+    qualities = np.broadcast_to(
+        rates.astype(np.float32)[None, None, :, None],
+        (num_videos, num_chunks, R, T)).copy()
+    sizes = qualities * 1e6 / 8 / T * rng.uniform(
+        0.5, 1.5, (num_videos, num_chunks, R, T)).astype(np.float32)
+    vp = np.zeros((num_videos, num_users, num_chunks, T), np.float32)
+    for v in range(num_videos):
+        for u in range(num_users):
+            for c in range(num_chunks):
+                start = rng.integers(0, T - 8)
+                vp[v, u, c, start:start + 8] = 1
+    pred = vp.copy()
+    start = np.full((num_videos, num_users), 3, np.int32)
+    end = np.full((num_videos, num_users), num_chunks - 1, np.int32)
+    bw = rng.uniform(5e5, 4e6, (num_traces, 50)).astype(np.float32)
+    qoe = rng.uniform(1, 7, (num_qoe, 3)).astype(np.float32)
+    return SimTables(
+        sizes=jnp.asarray(sizes), qualities=jnp.asarray(qualities),
+        gt=jnp.asarray(vp), pred=jnp.asarray(pred),
+        vp_acc=jnp.ones((num_videos, num_users, num_chunks), jnp.float32),
+        start_chunk=jnp.asarray(start), end_chunk=jnp.asarray(end),
+        bw=jnp.asarray(bw), bw_len=jnp.full(num_traces, 50, jnp.int32),
+        qoe_weights=jnp.asarray(qoe),
+        startup_download=5, chunk_length=1.0, max_rate=35.0,
+        max_size=500000.0, max_throughput=5000000.0,
+        video_rates=jnp.asarray(rates), past_k=8, action_space=15)
+
+
 def build_sim_tables(config: Config, dataset: str, network_dataset: str,
                      videos: Sequence[int], users: Sequence[int],
                      traces: Sequence[int],
