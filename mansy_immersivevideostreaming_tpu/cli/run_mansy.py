@@ -121,6 +121,38 @@ def train(args, config, models_dir):
     id_checkpoint_path = os.path.join(models_dir, "identifier_checkpoint.ckpt")
     best_policy_path = os.path.join(models_dir, "best_policy.ckpt")
     best_identifier_path = os.path.join(models_dir, "best_identifier.ckpt")
+
+    bc_file_prefix = (f"bc_ms_{args.bc_max_steps}_ims_{args.bc_identifier_max_steps}"
+                      f"_ilr_{args.identifier_lr}_iur_{args.identifier_update_round}")
+    policy_bc_path = os.path.join(models_dir, bc_file_prefix + "_policy.ckpt")
+    identifier_bc_path = os.path.join(models_dir, bc_file_prefix + "_identifier.ckpt")
+    if args.bc:
+        # behavior cloning initialization from expert demos
+        # (reference run_mansy.py:260-274)
+        import pickle
+        from mansy_immersivevideostreaming_tpu.rl.bc import (
+            behavior_cloning_pretraining)
+        demos_dir = os.path.join(
+            config.bs_models_dir, "expert",
+            args.train_dataset + "_" + args.network_dataset,
+            "qoe" + "_".join(map(str, args.qoe_train_ids)))
+        train_demos_path = os.path.join(demos_dir, "train_demonstrations.pkl")
+        valid_demos_path = os.path.join(demos_dir, "valid_demonstrations.pkl")
+        assert os.path.exists(train_demos_path) and os.path.exists(valid_demos_path)
+        with open(train_demos_path, "rb") as f:
+            train_demos = list(pickle.load(f).values())
+        with open(valid_demos_path, "rb") as f:
+            valid_demos = list(pickle.load(f).values())
+        params, opt_state, id_params, id_opt_state, _ = (
+            behavior_cloning_pretraining(
+                policy_apply, optimizer, params, opt_state,
+                id_apply, id_optimizer, id_params, id_opt_state,
+                train_demos, valid_demos, args.bc_max_steps,
+                args.bc_valid_per_step, args.bc_identifier_max_steps,
+                args.identifier_update_round, args.seed,
+                save_policy=lambda p: save_checkpoint(policy_bc_path, p),
+                save_identifier=lambda p: save_checkpoint(identifier_bc_path, p)))
+
     if args.resume:
         if os.path.exists(checkpoint_path):
             params = restore_checkpoint(checkpoint_path, params)
@@ -128,6 +160,14 @@ def train(args, config, models_dir):
         if os.path.exists(id_checkpoint_path):
             id_params = restore_checkpoint(id_checkpoint_path, id_params)
             print("Successfully loaded identifier from:", id_checkpoint_path)
+    elif args.init_from_bc:
+        if os.path.exists(policy_bc_path):
+            params = restore_checkpoint(policy_bc_path, params)
+            print("Successfully init agent from behavior cloning:", policy_bc_path)
+        if os.path.exists(identifier_bc_path):
+            id_params = restore_checkpoint(identifier_bc_path, id_params)
+            print("Successfully init identifier from behavior cloning:",
+                  identifier_bc_path)
 
     writer = None
     if SummaryWriter is not None:

@@ -1,0 +1,73 @@
+"""Head-orientation math: quaternion -> equirectangular coordinates.
+
+Vectorized (numpy) rebuild of reference
+``dataset_preprocess/head_orientation_lib.py``: quaternion rotation of a
+reference view vector (``:19-30``), 3-D direction -> (theta, phi) viewing
+angles (``:64-75``), angles -> equirect pixel (``:78-84``), and angular
+distance (``:50-53``).  The reference loops one pyquaternion op per sample;
+here whole traces are batched array math (and jnp-compatible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate vector(s) ``v`` [3] by unit-normalized quaternion(s)
+    ``q`` [..., 4] in (w, x, y, z) order."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, xyz = q[..., :1], q[..., 1:]
+    v = np.broadcast_to(np.asarray(v, np.float64), xyz.shape)
+    t = 2.0 * np.cross(xyz, v)
+    return v + w * t + np.cross(xyz, t)
+
+
+def extract_direction_dataset1(q_xyzw: np.ndarray) -> np.ndarray:
+    """Reference ``head_orientation_lib.py:19-23``: rotate [1,0,0] by
+    Quaternion([q4, q3, q2, q1]) given input (q1..q4) = (x, y, z, w)."""
+    q = np.stack([q_xyzw[..., 3], q_xyzw[..., 2], q_xyzw[..., 1],
+                  q_xyzw[..., 0]], axis=-1)
+    return quat_rotate(q, np.array([1.0, 0.0, 0.0]))
+
+
+def extract_direction_dataset2(q_xyzw: np.ndarray) -> np.ndarray:
+    """Reference ``head_orientation_lib.py:26-30``: rotate [0,0,1] by
+    Quaternion([q4, -q3, q2, -q1])."""
+    q = np.stack([q_xyzw[..., 3], -q_xyzw[..., 2], q_xyzw[..., 1],
+                  -q_xyzw[..., 0]], axis=-1)
+    return quat_rotate(q, np.array([0.0, 0.0, 1.0]))
+
+
+def degree_distance(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """Angular distance in degrees (reference ``:50-53``), batched over
+    leading axes of v1."""
+    v1 = v1 / np.linalg.norm(v1, axis=-1, keepdims=True)
+    v2 = v2 / np.linalg.norm(v2, axis=-1, keepdims=True)
+    return np.degrees(np.arccos(np.clip(np.sum(v1 * v2, axis=-1), -1.0, 1.0)))
+
+
+def vector_to_ang(v: np.ndarray):
+    """Direction vector(s) [..., 3] -> (theta, phi) in degrees; exact port of
+    reference ``head_orientation_lib.py:64-75``."""
+    v = np.asarray(v, np.float64)
+    alpha = degree_distance(v, np.array([0.0, 1.0, 0.0]))
+    phi = 90.0 - alpha
+    proj1 = np.zeros_like(v)
+    proj1[..., 1] = np.cos(np.radians(alpha))
+    proj2 = v - proj1
+    theta = degree_distance(proj2, np.array([1.0, 0.0, 0.0]))
+    sign = np.where(degree_distance(v, np.array([0.0, 0.0, -1.0])) > 90.0,
+                    -1.0, 1.0)
+    return sign * theta, phi
+
+
+def ang_to_geoxy(theta: np.ndarray, phi: np.ndarray, h: float, w: float):
+    """(theta, phi) degrees -> (x=height-axis, y=width-axis) pixels; exact
+    port of reference ``head_orientation_lib.py:78-84``."""
+    x = h / 2.0 - (h / 2.0) * np.sin(np.radians(phi))
+    temp = np.where(theta < 0, 360.0 + theta, theta)
+    temp = 360.0 - temp
+    y = temp / 360.0 * w
+    return x, y
