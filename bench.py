@@ -122,6 +122,13 @@ def bench_mtio(bs=512, iters=6):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__) or ".",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"[bench] compilation cache unavailable: {e!r}")
     log(f"[bench] devices: {jax.devices()}")
     abr_rate = bench_abr()
     try:

@@ -28,7 +28,7 @@ from mansy_immersivevideostreaming_tpu.ops.qoe import (
     QoEState, init_qoe_state, qoe_step,
 )
 from mansy_immersivevideostreaming_tpu.sim.simulator import (
-    NetState, init_buffer, init_net_state, push_chunk, simulate_download_bytes,
+    NetState, init_buffer, init_net_state, push_chunk, simulate_download_prefix,
 )
 from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
@@ -214,13 +214,19 @@ def step_env(tables: SimTables, samples: jnp.ndarray, state: EnvState,
     pred_vp = tables.pred[v, u, c]
     versions, _ = allocate_tile_rates(rate_in, rate_out, pred_vp)
 
-    tile_idx = jnp.arange(tables.sizes.shape[-1])
-    sizes = tables.sizes[v, c, versions, tile_idx]
-    quals = tables.qualities[v, c, versions, tile_idx]
+    # Select each tile's (size, quality) at its allocated rate version as a
+    # one-hot contraction over the [R, T] chunk slab instead of a per-element
+    # gather — TPU lowers scattered gathers poorly, while this is pure VPU
+    # multiply-add.
+    onehot = jax.nn.one_hot(versions, tables.sizes.shape[2], axis=0,
+                            dtype=jnp.float32)          # [R, T]
+    sizes = jnp.sum(tables.sizes[v, c] * onehot, axis=0)      # [T]
+    quals = jnp.sum(tables.qualities[v, c] * onehot, axis=0)  # [T]
     chunk_size = jnp.sum(sizes)
 
-    net, download_time = simulate_download_bytes(
-        tables.bw[state.trace], tables.bw_len[state.trace], state.net, chunk_size)
+    net, download_time = simulate_download_prefix(
+        tables.bw[state.trace], tables.bw_prefix[state.trace],
+        tables.bw_len[state.trace], state.net, chunk_size)
     buf, rebuffer = push_chunk(state.buf, tables.chunk_length, download_time)
 
     gt_vp = tables.gt[v, u, c]

@@ -30,7 +30,7 @@ from mansy_immersivevideostreaming_tpu.ops.allocation import (
 )
 from mansy_immersivevideostreaming_tpu.sim.env import EnvState
 from mansy_immersivevideostreaming_tpu.sim.simulator import (
-    NetState, push_chunk, simulate_download_bytes,
+    NetState, push_chunk, simulate_download_prefix,
 )
 from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
@@ -54,8 +54,10 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
 
     def per_action(alloc_vp, gt_vp, sizes_c, quals_c, act):
         versions, _ = allocate_tile_rates(act[0], act[1], alloc_vp)
-        sz = jnp.sum(sizes_c[versions, tile_idx])
-        q = quals_c[versions, tile_idx]
+        onehot = jax.nn.one_hot(versions, sizes_c.shape[0], axis=0,
+                                dtype=jnp.float32)
+        sz = jnp.sum(sizes_c * onehot)
+        q = jnp.sum(quals_c * onehot, axis=0)
         vp_sum = jnp.sum(gt_vp)
         quality = jnp.sum(gt_vp * q) / vp_sum
         intra = jnp.sum(gt_vp * jnp.abs(q - quality)) / vp_sum
@@ -105,6 +107,7 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
     v, u = state.video, state.user
     weights = tables.qoe_weights[state.qoe_id]
     bw_row = tables.bw[state.trace]
+    bw_prefix = tables.bw_prefix[state.trace]
     bw_len = tables.bw_len[state.trace]
     end_chunk = tables.end_chunk[v, u]
     horizon = seqs.shape[1]
@@ -118,7 +121,8 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
             size = etables.pred_size[v, u, chunk, a]
             quality = etables.pred_quality[v, u, chunk, a]
             intra = etables.pred_intra[v, u, chunk, a]
-            new_net, dt = simulate_download_bytes(bw_row, bw_len, net, size)
+            new_net, dt = simulate_download_prefix(bw_row, bw_prefix, bw_len,
+                                                   net, size)
             new_buf, rebuf = push_chunk(buf, tables.chunk_length, dt)
             q_n = quality / tables.max_rate
             intra_n = intra / tables.max_rate

@@ -63,6 +63,79 @@ def simulate_download_bytes(bw_row: jnp.ndarray, bw_len: jnp.ndarray,
     return NetState(idx=idx, sec=sec, frac=frac), dt
 
 
+def build_prefix(bw: jnp.ndarray, bw_len: jnp.ndarray) -> jnp.ndarray:
+    """Per-trace cumulative-bytes table for the closed-form download.
+
+    bw [N, L] (padding after ``bw_len`` ignored) -> prefix [N, L+1] with
+    prefix[:, 0] = 0, prefix[:, i] = sum(bw[:, :i]) for i <= len, and +inf
+    beyond the trace length so searchsorted never selects padding.
+    """
+    import numpy as np
+    bw = np.asarray(bw, np.float64)
+    lens = np.asarray(bw_len)
+    N, L = bw.shape
+    prefix = np.zeros((N, L + 1), np.float64)
+    prefix[:, 1:] = np.cumsum(bw, axis=1)
+    for i in range(N):
+        prefix[i, lens[i] + 1:] = np.inf
+    return jnp.asarray(prefix.astype(np.float32))
+
+
+def simulate_download_prefix(bw_row: jnp.ndarray, prefix_row: jnp.ndarray,
+                             bw_len: jnp.ndarray, net: NetState,
+                             size: jnp.ndarray) -> Tuple[NetState, jnp.ndarray]:
+    """Closed-form equivalent of :func:`simulate_download_bytes`.
+
+    The sequential second-by-second walk (reference ``network.py:22-35``) is
+    replaced by one cyclic prefix-sum searchsorted: O(log L) instead of up to
+    ~50 lockstep iterations when traces contain outage (zero-byte) seconds.
+    Matches the while-loop semantics except for float-rounding-level
+    differences (< ~1e-3 s) and one measure-zero corner: if a download ends
+    *exactly* at a second boundary followed by zero-bandwidth seconds, the
+    cursor lands after the outage instead of before it.
+    """
+    L = bw_len
+    total = prefix_row[L]
+    rate0 = bw_row[net.idx]
+    size = jnp.asarray(size, jnp.float32)
+    avail0 = (1.0 - net.frac) * rate0
+    full0 = size >= avail0
+    # Case A: finishes inside the current second (matches the reference's
+    # ``cur_time += size / rate`` arithmetic exactly).
+    fracA = net.frac + size / rate0
+
+    # Case B: consume the rest of this second, then whole seconds via the
+    # cyclic prefix table.
+    sp = size - avail0
+    j0 = net.idx + 1  # may equal L (== position 0 of the next cycle)
+    target = sp + prefix_row[j0]
+    q = jnp.floor(target / total)
+    rem = target - q * total
+    q = jnp.where(rem >= total, q + 1, q)
+    rem = jnp.where(rem >= total, rem - total, rem)
+    q = jnp.where(rem < 0, q - 1, q)
+    rem = jnp.where(rem < 0, rem + total, rem)
+    r = jnp.clip(jnp.searchsorted(prefix_row, rem, side="right"), 1, L)
+    n = (q.astype(jnp.int32) * L + r).astype(jnp.int32)
+    n = jnp.maximum(n, j0)  # rounding guard; mathematically n > j0 - 1
+    idxB = (n - 1) % L
+    g_nm1 = total * ((n - 1) // L).astype(jnp.float32) + prefix_row[(n - 1) % L]
+    remainder = jnp.maximum(target - g_nm1, 0.0)
+    fracB = jnp.where(remainder > 0, remainder / bw_row[idxB], 0.0)
+    m_adv = n - 1 - net.idx
+    # exact-boundary case: only the first second was consumed
+    exact0 = sp == 0
+    idxB = jnp.where(exact0, j0 % L, idxB)
+    m_adv = jnp.where(exact0, 1, m_adv)
+    fracB = jnp.where(exact0, 0.0, fracB)
+
+    new_idx = jnp.where(full0, idxB, net.idx)
+    new_sec = jnp.where(full0, net.sec + m_adv, net.sec)
+    new_frac = jnp.where(full0, fracB, fracA)
+    dt = (new_sec - net.sec).astype(jnp.float32) + (new_frac - net.frac)
+    return NetState(idx=new_idx, sec=new_sec, frac=new_frac), dt
+
+
 def push_chunk(buf_size: jnp.ndarray, chunk_length: float,
                download_time: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Playback buffer update; returns (new_buf_size, rebuffer_time).

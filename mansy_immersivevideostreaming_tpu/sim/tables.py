@@ -19,6 +19,7 @@ from mansy_immersivevideostreaming_tpu.config import Config
 from mansy_immersivevideostreaming_tpu.data.manifest import load_manifest_tables
 from mansy_immersivevideostreaming_tpu.data.network import load_network_tables
 from mansy_immersivevideostreaming_tpu.data.prediction import load_prediction_tables
+from mansy_immersivevideostreaming_tpu.sim.simulator import build_prefix
 
 
 class SimTables(NamedTuple):
@@ -36,6 +37,7 @@ class SimTables(NamedTuple):
     # bandwidth traces
     bw: jnp.ndarray           # f32 [N, L] bytes/sec
     bw_len: jnp.ndarray       # i32 [N]
+    bw_prefix: jnp.ndarray    # f32 [N, L+1] cumulative bytes (inf past len)
     # qoe preferences
     qoe_weights: jnp.ndarray  # f32 [Q, 3]
     # streaming constants
@@ -78,7 +80,9 @@ def synthetic_sim_tables(num_videos: int = 2, num_users: int = 2,
         gt=jnp.asarray(vp), pred=jnp.asarray(pred),
         vp_acc=jnp.ones((num_videos, num_users, num_chunks), jnp.float32),
         start_chunk=jnp.asarray(start), end_chunk=jnp.asarray(end),
-        bw=jnp.asarray(bw), bw_len=jnp.full(num_traces, 50, jnp.int32),
+        bw=jnp.asarray(bw),
+        bw_len=jnp.full(num_traces, 50, jnp.int32),
+        bw_prefix=build_prefix(bw, np.full(num_traces, 50, np.int32)),
         qoe_weights=jnp.asarray(qoe),
         startup_download=5, chunk_length=1.0, max_rate=35.0,
         max_size=500000.0, max_throughput=5000000.0,
@@ -104,6 +108,7 @@ def build_sim_tables(config: Config, dataset: str, network_dataset: str,
         end_chunk=jnp.asarray(end.astype(np.int32)),
         bw=jnp.asarray(nt.throughput),
         bw_len=jnp.asarray(nt.length),
+        bw_prefix=build_prefix(nt.throughput, nt.length),
         qoe_weights=jnp.asarray(np.asarray(qoe_weights, np.float32)),
         startup_download=config.startup_download,
         chunk_length=float(config.chunk_length),
