@@ -54,13 +54,14 @@ class ViewportTransformerMTIO(nn.Module):
     num_decoder_layers: int = 2
     dropout: float = 0.2
     repeat_prob: float = 0.5
+    use_pallas: bool = False
 
     def setup(self):
         self.embedding = nn.Dense(self.d_model)
         self.transformer = Transformer(
             d_model=self.d_model, num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
-            dim_feedforward=self.dim_feedforward)
+            dim_feedforward=self.dim_feedforward, use_pallas=self.use_pallas)
         self.predictor = nn.Dense(self.in_channel * self.num_head)
         self.pe = sinusoidal_pe(5000, self.d_model)
         self.pe_dropout = nn.Dropout(self.dropout)

@@ -22,6 +22,53 @@ import jax
 import jax.numpy as jnp
 
 
+class MHA(nn.Module):
+    """Multi-head attention with a fused Pallas core.
+
+    Training mode uses the einsum path (attention-prob dropout matches torch
+    ``nn.MultiheadAttention`` semantics); deterministic mode routes the
+    QK^T -> softmax -> PV core through :func:`ops.pallas_kernels.mha_pallas`
+    when ``use_pallas`` — one VMEM pass per (batch, head), no [L, L]
+    intermediates in HBM.
+    """
+    num_heads: int
+    dropout: float = 0.1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, mask, deterministic: bool):
+        d_model = q_in.shape[-1]
+        dh = d_model // self.num_heads
+        B, Lq, _ = q_in.shape
+        Lk = kv_in.shape[1]
+
+        def proj(x, name):
+            y = nn.Dense(d_model, name=name)(x)
+            return y.reshape(x.shape[0], x.shape[1], self.num_heads, dh)
+
+        q = proj(q_in, "query")
+        k = proj(kv_in, "key")
+        v = proj(kv_in, "value")
+
+        if self.use_pallas and deterministic:
+            from mansy_immersivevideostreaming_tpu.ops.pallas_kernels import (
+                mha_pallas)
+            m = None if mask is None else jnp.broadcast_to(
+                mask, (B, self.num_heads, Lq, Lk))
+            o = mha_pallas(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3), m)
+            o = o.transpose(0, 2, 1, 3)
+        else:
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(dh, q.dtype))
+            if mask is not None:
+                s = jnp.where(mask, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            p = nn.Dropout(self.dropout, deterministic=deterministic)(p)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        return nn.Dense(d_model, name="out")(o.reshape(B, Lq, d_model))
+
+
 class FeedForward(nn.Module):
     d_model: int
     dim_feedforward: int
@@ -41,12 +88,12 @@ class EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dropout_rate=self.dropout,
-            deterministic=deterministic)(x, x, x)
+        attn = MHA(self.nhead, self.dropout, self.use_pallas)(
+            x, x, None, deterministic)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
         ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)(
@@ -60,17 +107,16 @@ class DecoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, memory, tgt_mask, deterministic: bool):
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dropout_rate=self.dropout,
-            deterministic=deterministic)(x, x, x, mask=tgt_mask)
+        sa = MHA(self.nhead, self.dropout, self.use_pallas)(
+            x, x, tgt_mask, deterministic)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
         x = nn.LayerNorm(epsilon=1e-5)(x + sa)
-        ca = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dropout_rate=self.dropout,
-            deterministic=deterministic)(x, memory, memory)
+        ca = MHA(self.nhead, self.dropout, self.use_pallas)(
+            x, memory, None, deterministic)
         ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
         x = nn.LayerNorm(epsilon=1e-5)(x + ca)
         ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)(
@@ -117,15 +163,18 @@ class Transformer(nn.Module):
     num_decoder_layers: int = 2
     dim_feedforward: int = 512
     dropout: float = 0.1
+    use_pallas: bool = False
 
     def setup(self):
         self.encoder_layers = [
-            EncoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout)
+            EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                         self.dropout, self.use_pallas)
             for _ in range(self.num_encoder_layers)]
         self.encoder_norm = nn.LayerNorm(epsilon=1e-5)
         self.distill = DistillLayer(self.d_model)
         self.decoder_layers = [
-            DecoderLayer(self.d_model, self.nhead, self.dim_feedforward, self.dropout)
+            DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                         self.dropout, self.use_pallas)
             for _ in range(self.num_decoder_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
 
