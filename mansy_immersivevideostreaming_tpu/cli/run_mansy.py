@@ -116,6 +116,7 @@ def train(args, config, models_dir):
                              n_lanes, n_steps, train=True)
     states = init_lanes(tables, samples, n_lanes, args.seed)
     ret_rms = RunningStat.init()
+    valid_eval_fn = runner.make_eval_fn(policy_apply, vtables, observe_mansy)
 
     checkpoint_path = os.path.join(models_dir, "checkpoint.ckpt")
     id_checkpoint_path = os.path.join(models_dir, "identifier_checkpoint.ckpt")
@@ -212,7 +213,7 @@ def train(args, config, models_dir):
         # run_mansy.py:117-136)
         key, k_v = jax.random.split(key)
         vlogs, vmasks = runner.evaluate(policy_apply, params, vtables, vsamples,
-                                        observe_mansy, k_v)
+                                        observe_mansy, k_v, eval_fn=valid_eval_fn)
         vrows = runner.masked_log_rows(vlogs, vmasks, vvideos, vusers, vtraces,
                                        qoe_weights)
         runner.append_episode_logs(valid_log_path, vrows)

@@ -74,6 +74,7 @@ def train(args, config, models_dir, file_prefix):
                              n_lanes, n_steps, train=True)
     states = init_lanes(tables, samples, n_lanes, args.seed)
     ret_rms = RunningStat.init()
+    valid_eval_fn = runner.make_eval_fn(policy_apply, vtables, observe_simple)
 
     checkpoint_path = os.path.join(models_dir, file_prefix + "_checkpoint.ckpt")
     best_policy_path = os.path.join(models_dir, file_prefix + "_best_policy.ckpt")
@@ -96,7 +97,7 @@ def train(args, config, models_dir, file_prefix):
 
         key, k_v = jax.random.split(key)
         vlogs, vmasks = runner.evaluate(policy_apply, params, vtables, vsamples,
-                                        observe_simple, k_v)
+                                        observe_simple, k_v, eval_fn=valid_eval_fn)
         runner.append_episode_logs(
             valid_log_path,
             runner.masked_log_rows(vlogs, vmasks, vvideos, vusers, vtraces,

@@ -81,44 +81,54 @@ def append_episode_logs(path: str, rows: List[str]) -> None:
             f.write(r + "\n")
 
 
+def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
+    """Jitted single-pass evaluator over a sub-sample table [n, 4]; build once
+    and reuse across epochs (a fresh jit per call would recompile)."""
+
+    @jax.jit
+    def run(params, sub, key):
+        n = sub.shape[0]
+        states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
+
+        def body(carry, _):
+            states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = jax.vmap(lambda s: observe_fn(tables, s))(states)
+            logits, _ = apply_fn(params, obs)
+            action = jax.random.categorical(k_act, logits)
+            new_states, _, done, log = jax.vmap(
+                lambda s, a: step_env(tables, sub, s, a, n, False)
+            )(states, action)
+            return (new_states, key), log
+
+        _, logs = jax.lax.scan(body, (states, key), None,
+                               length=MAX_EPISODE_STEPS)
+        return logs
+
+    return run
+
+
 def evaluate(apply_fn: Callable, params, tables: SimTables,
              samples: jnp.ndarray, observe_fn: Callable, key: jax.Array,
-             lane_chunk: int = 512):
-    """Run every sample episode exactly once; returns stacked LogRecord
-    [T, S] plus a per-sample first-done mask [T, S].
+             lane_chunk: int = 512, eval_fn: Callable | None = None):
+    """Run every sample episode exactly once; returns per-chunk LogRecords
+    plus per-sample first-done masks.
 
     Vectorized replacement for the reference's serial batch-of-1 test loop
     (reference ``run_mansy.py:161-175``): each sample gets a lane; lanes run
     to MAX_EPISODE_STEPS with auto-reset, and only each lane's first
-    episode-end record is kept.
+    episode-end record is kept.  Pass ``eval_fn`` (from :func:`make_eval_fn`)
+    to reuse the compiled evaluator across calls.
     """
+    if eval_fn is None:
+        eval_fn = make_eval_fn(apply_fn, tables, observe_fn)
     S = samples.shape[0]
     all_logs = []
     all_masks = []
     for s0 in range(0, S, lane_chunk):
         sub = samples[s0: s0 + lane_chunk]
         n = sub.shape[0]
-
-        @jax.jit
-        def run(params, key):
-            states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
-
-            def body(carry, _):
-                states, key = carry
-                key, k_act = jax.random.split(key)
-                obs = jax.vmap(lambda s: observe_fn(tables, s))(states)
-                logits, _ = apply_fn(params, obs)
-                action = jax.random.categorical(k_act, logits)
-                new_states, _, done, log = jax.vmap(
-                    lambda s, a: step_env(tables, sub, s, a, n, False)
-                )(states, action)
-                return (new_states, key), log
-
-            _, logs = jax.lax.scan(body, (states, key), None,
-                                   length=MAX_EPISODE_STEPS)
-            return logs
-
-        logs = run(params, jax.random.fold_in(key, s0))
+        logs = eval_fn(params, sub, jax.random.fold_in(key, s0))
         done = np.asarray(logs.done)
         first = np.zeros_like(done)
         seen = np.zeros(n, bool)
