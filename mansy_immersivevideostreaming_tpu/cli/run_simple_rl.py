@@ -31,6 +31,11 @@ from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
 from mansy_immersivevideostreaming_tpu.utils.logging import ConsoleLogger
 from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
 
+try:
+    from torch.utils.tensorboard import SummaryWriter
+except Exception:  # pragma: no cover - tensorboard optional
+    SummaryWriter = None
+
 
 def dummy_obs(config, batch=2):
     return {
@@ -79,6 +84,10 @@ def train(args, config, models_dir, file_prefix):
     checkpoint_path = os.path.join(models_dir, file_prefix + "_checkpoint.ckpt")
     best_policy_path = os.path.join(models_dir, file_prefix + "_best_policy.ckpt")
 
+    writer = None
+    if SummaryWriter is not None:
+        writer = SummaryWriter(os.path.join(models_dir, file_prefix + "_tb"))
+
     best_reward = float("-inf")
     env_step = 0
     collects_per_epoch = max(args.step_per_epoch // (n_lanes * n_steps), 1)
@@ -113,6 +122,10 @@ def train(args, config, models_dir, file_prefix):
               f"{collects_per_epoch * n_lanes * n_steps / dt:,.0f} env-steps/s | "
               f"valid mean return {mean_reward:.4f} (best {best_reward:.4f}) | "
               f"loss {float(metrics['loss']):.4f}")
+        if writer is not None:
+            writer.add_scalar("train/reward", mean_reward, env_step)
+            for k_, v_ in metrics.items():
+                writer.add_scalar(k_, float(v_), env_step)
         if mean_reward >= args.reward_threshold:
             break
     return params

@@ -92,11 +92,14 @@ def synthetic_sim_tables(num_videos: int = 2, num_users: int = 2,
 def build_sim_tables(config: Config, dataset: str, network_dataset: str,
                      videos: Sequence[int], users: Sequence[int],
                      traces: Sequence[int],
-                     qoe_weights: Sequence[Sequence[float]]) -> SimTables:
+                     qoe_weights: Sequence[Sequence[float]],
+                     trace_scale=None) -> SimTables:
+    """``trace_scale``: optional (up, low) min-max rescaling of every trace
+    (reference ``Simulator.__init__`` trace_scale -> ``network.py:10-17``)."""
     mt = load_manifest_tables(config, dataset, videos)
     pt = load_prediction_tables(config, dataset, videos, users,
                                 max_chunks=mt.sizes.shape[1])
-    nt = load_network_tables(config, network_dataset, traces)
+    nt = load_network_tables(config, network_dataset, traces, scale=trace_scale)
     end = np.minimum(pt.end_chunk, (mt.video_length - 1)[:, None])
     return SimTables(
         sizes=jnp.asarray(mt.sizes),
