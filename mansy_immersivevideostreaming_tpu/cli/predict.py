@@ -36,7 +36,7 @@ from mansy_immersivevideostreaming_tpu.models.mtio import ViewportTransformerMTI
 from mansy_immersivevideostreaming_tpu.models.regression import linear_regression_sample
 from mansy_immersivevideostreaming_tpu.ops.geometry import batched_tile_occupancy
 from mansy_immersivevideostreaming_tpu.utils.checkpoint import restore_checkpoint
-from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -145,6 +145,7 @@ def main(argv=None):
     args.sample_step = config.sample_step if args.sample_step is None else args.sample_step
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
     print(args)
     run(args, config)
 

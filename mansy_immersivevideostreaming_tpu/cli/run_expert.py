@@ -39,7 +39,7 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
 from mansy_immersivevideostreaming_tpu.sim.expert import (
     ExpertTables, action_sequences, build_expert_tables, choose_action,
 )
-from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
 
 def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
@@ -235,6 +235,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
     print(args)
     config = load_config(args.config_yml)
     run(args, config)

@@ -33,7 +33,7 @@ from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
     restore_checkpoint, save_checkpoint,
 )
 from mansy_immersivevideostreaming_tpu.utils.logging import ConsoleLogger
-from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 from mansy_immersivevideostreaming_tpu.utils.results import Results
 
 
@@ -213,6 +213,7 @@ def main(argv=None):
     args.sample_step = config.sample_step if args.sample_step is None else args.sample_step
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
     if args.model == "regression":
         args.train = False
         print("Detect model: regression. Automatically disable train mode.")

@@ -29,7 +29,7 @@ from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
     restore_checkpoint, save_checkpoint,
 )
 from mansy_immersivevideostreaming_tpu.utils.logging import ConsoleLogger
-from mansy_immersivevideostreaming_tpu.utils.prng import seed_everything
+from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
 try:
     from torch.utils.tensorboard import SummaryWriter
@@ -226,6 +226,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
     print(args)
     config = load_config(args.config_yml)
     run(args, config)
