@@ -112,9 +112,23 @@ def train(args, config, models_dir):
 
     n_lanes = args.train_lanes
     n_steps = max(args.step_per_collect // n_lanes, 1)
+    if args.data_parallel and jax.device_count() > 1:
+        from mansy_immersivevideostreaming_tpu.parallel.mesh import (
+            data_parallel_sharding, make_mesh, replicate)
+        mesh = make_mesh()
+        print(f"Env lanes sharded over {jax.device_count()} devices")
+        repl = replicate(mesh)
+        tables = jax.device_put(tables, repl)
+        samples = jax.device_put(samples, repl)
+        params = jax.device_put(params, repl)
+        id_params = jax.device_put(id_params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        id_opt_state = jax.device_put(id_opt_state, repl)
     collect = make_collector(policy_apply, observe_mansy, tables, samples,
                              n_lanes, n_steps, train=True)
     states = init_lanes(tables, samples, n_lanes, args.seed)
+    if args.data_parallel and jax.device_count() > 1:
+        states = jax.device_put(states, data_parallel_sharding(mesh))
     ret_rms = RunningStat.init()
     valid_eval_fn = runner.make_eval_fn(policy_apply, vtables, observe_mansy)
 
@@ -364,6 +378,8 @@ def build_parser():
     parser.add_argument("--bc-valid-per-step", type=int, default=50)
     parser.add_argument("--bc-identifier-max-steps", type=int, default=150)
     parser.add_argument("--init-from-bc", action="store_true")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard env lanes over all devices (SPMD)")
     parser.add_argument("--config-yml", type=str, default=None)
     return parser
 

@@ -37,6 +37,16 @@ from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cach
 from mansy_immersivevideostreaming_tpu.utils.results import Results
 
 
+def maybe_mesh(args):
+    """SPMD data parallelism: replicate params, shard batches over 'data'."""
+    if not getattr(args, "data_parallel", False) or jax.device_count() < 2:
+        return None
+    from mansy_immersivevideostreaming_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    print(f"Data-parallel over {jax.device_count()} devices")
+    return mesh
+
+
 def batches(dataset, batch_size, shuffle, rng=None, drop_remainder=False):
     n = len(dataset)
     idx = np.arange(n)
@@ -66,6 +76,10 @@ def train(args, config, model, optimizer, state, models_dir, file_prefix):
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
+    mesh = maybe_mesh(args)
+    if mesh is not None:
+        from mansy_immersivevideostreaming_tpu.parallel.mesh import replicate
+        state = jax.device_put(state, replicate(mesh))
     best_valid_mse, best_epoch = float("inf"), 0
     for epoch in range(args.epochs):
         print(f"Epoch {epoch + 1}/{args.epochs}\n-------------------------------")
@@ -75,6 +89,9 @@ def train(args, config, model, optimizer, state, models_dir, file_prefix):
         for h, c, f, *_ in batches(ds_train, args.bs, True, rng, drop_remainder=True):
             batch = {"history": jnp.asarray(h), "current": jnp.asarray(c),
                      "future": jnp.asarray(f)}
+            if mesh is not None:
+                from mansy_immersivevideostreaming_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(mesh, batch)
             state, loss = vp_train.train_step(model, optimizer, state, batch, key)
             losses.append(loss)
             nsamples += h.shape[0]
@@ -199,6 +216,8 @@ def build_parser():
     parser.add_argument("--weight-decay", type=float)
     parser.add_argument("--bs", type=int, default=512)
     parser.add_argument("--seed", type=int, default=5)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all devices (SPMD DP)")
     parser.add_argument("--config-yml", type=str, default=None)
     return parser
 
