@@ -42,21 +42,38 @@ from mansy_immersivevideostreaming_tpu.sim.expert import (
 from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
 
+def _tables_fingerprint(tables) -> str:
+    """Content hash so a stale cache is never silently reused (the
+    reference's class-level cache relied on build-before-fork ordering only,
+    ``expert_env.py:19-28``)."""
+    import hashlib
+    h = hashlib.sha256()
+    for arr in (tables.sizes, tables.qualities, tables.gt, tables.pred):
+        a = np.asarray(arr)
+        h.update(str(a.shape).encode())
+        h.update(np.ascontiguousarray(a[..., :: max(a.shape[-1] // 4, 1)]).tobytes())
+    return h.hexdigest()[:16]
+
+
 def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
     """Build or load the profiling tables (reference caches them to a pickle,
-    ``expert_env.py:100-110``)."""
+    ``expert_env.py:100-110``), keyed by a content fingerprint."""
+    fp = _tables_fingerprint(tables)
     if cache_path and os.path.exists(cache_path) and not refresh:
         with open(cache_path, "rb") as f:
-            data = pickle.load(f)
-        print("Load expert cache from", cache_path)
-        return ExpertTables(*(jnp.asarray(v) for v in data))
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and payload.get("fingerprint") == fp:
+            print("Load expert cache from", cache_path)
+            return ExpertTables(*(jnp.asarray(v) for v in payload["tables"]))
+        print("Expert cache stale (fingerprint mismatch) — rebuilding")
     t0 = time.time()
     et = build_expert_tables(tables)
     print(f"Profiled expert tables in {time.time() - t0:.1f}s")
     if cache_path:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         with open(cache_path, "wb") as f:
-            pickle.dump([np.asarray(v) for v in et], f)
+            pickle.dump({"fingerprint": fp,
+                         "tables": [np.asarray(v) for v in et]}, f)
         print("Save expert cache at", cache_path)
     return et
 
