@@ -54,19 +54,23 @@ def episode_log_rows(logs, videos: Sequence[int], users: Sequence[int],
     """Format finished-episode records as reference CSV rows
     (``mansy_env.py:277-284``: means rounded to 5 digits, qoe normalized)."""
     done = np.asarray(logs.done)
+    video = np.asarray(logs.video)
+    user = np.asarray(logs.user)
+    trace = np.asarray(logs.trace)
+    qoe_id = np.asarray(logs.qoe_id)
+    qoe = np.asarray(logs.qoe)
+    qoe1 = np.asarray(logs.qoe1)
+    qoe2 = np.asarray(logs.qoe2)
+    qoe3 = np.asarray(logs.qoe3)
     rows = []
-    idx = np.argwhere(done)
-    for t, n in idx:
-        w = qoe_weights[int(np.asarray(logs.qoe_id)[t, n])]
+    for t, n in np.argwhere(done):
+        w = qoe_weights[int(qoe_id[t, n])]
         rows.append(
-            f"{videos[int(np.asarray(logs.video)[t, n])]},"
-            f"{users[int(np.asarray(logs.user)[t, n])]},"
-            f"{traces[int(np.asarray(logs.trace)[t, n])]},"
+            f"{videos[int(video[t, n])]},{users[int(user[t, n])]},"
+            f"{traces[int(trace[t, n])]},"
             f"{float(w[0])},{float(w[1])},{float(w[2])},"
-            f"{round(float(np.asarray(logs.qoe)[t, n]), 5)},"
-            f"{round(float(np.asarray(logs.qoe1)[t, n]), 5)},"
-            f"{round(float(np.asarray(logs.qoe2)[t, n]), 5)},"
-            f"{round(float(np.asarray(logs.qoe3)[t, n]), 5)}")
+            f"{round(float(qoe[t, n]), 5)},{round(float(qoe1[t, n]), 5)},"
+            f"{round(float(qoe2[t, n]), 5)},{round(float(qoe3[t, n]), 5)}")
     return rows
 
 
