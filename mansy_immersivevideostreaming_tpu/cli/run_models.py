@@ -175,7 +175,8 @@ def run(args, config):
                    f"epochs_{args.epochs}_bs_{args.bs}_lr_{args.lr}_seed_{args.seed}")
 
     model = build_model(args)
-    optimizer = vp_train.make_optimizer(args.lr)
+    optimizer = vp_train.make_optimizer(
+        args.lr, 0.01 if args.weight_decay is None else args.weight_decay)
     state = vp_train.create_train_state(model, key, args.his_window, optimizer)
 
     if args.train:
