@@ -100,16 +100,29 @@ def viewport_scales(pred_viewport: jnp.ndarray,
     pred_viewport: [..., T] 0/1 map (flattened).  Returns int32 [..., T].
     If the viewport is empty the reference leaves all scales at 0 (every tile
     then receives rate_in, ``common.py:184``); replicated here.
+
+    Computed by separable 3x3 torus dilation: the 8-neighbor BFS layer equals
+    the wrapped Chebyshev ring, and ``scale(t) = sum_r [t not yet covered
+    after ring r]``.  O(rings * T) elementwise work instead of a [T, T]
+    masked min — cheaper in the vmapped env hot path.
     """
-    dist = jnp.asarray(_torus_chebyshev_table(tile_num_height, tile_num_width))
-    inside = pred_viewport > 0
-    big = jnp.iinfo(jnp.int32).max
-    # min over viewport tiles of pairwise distance; dist [T, T] broadcasts
-    # against inside [..., 1, T] -> [..., T, T]
-    masked = jnp.where(inside[..., None, :], dist, big)
-    scales = jnp.min(masked, axis=-1)
-    any_inside = jnp.any(inside, axis=-1, keepdims=True)
-    return jnp.where(any_inside, scales, 0).astype(jnp.int32)
+    h, w = tile_num_height, tile_num_width
+    grid = (pred_viewport > 0).reshape(pred_viewport.shape[:-1] + (h, w))
+    max_scale = max(h // 2, w // 2)
+
+    def dilate(c):
+        d = c | jnp.roll(c, 1, axis=-1) | jnp.roll(c, -1, axis=-1)
+        return d | jnp.roll(d, 1, axis=-2) | jnp.roll(d, -1, axis=-2)
+
+    covered = grid
+    scales = jnp.zeros(grid.shape, jnp.int32)
+    for _ in range(max_scale):
+        scales = scales + jnp.where(covered, 0, 1)
+        covered = dilate(covered)
+    scales = scales.reshape(pred_viewport.shape)
+    any_inside = jnp.any(grid, axis=(-2, -1)).reshape(
+        pred_viewport.shape[:-1] + (1,))
+    return jnp.where(any_inside, scales, 0)
 
 
 def allocate_tile_rates(rate_in: jnp.ndarray, rate_out: jnp.ndarray,
