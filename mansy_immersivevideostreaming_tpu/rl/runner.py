@@ -146,15 +146,11 @@ def evaluate(apply_fn: Callable, params, tables: SimTables,
 
 
 def masked_log_rows(all_logs, all_masks, videos, users, traces, qoe_weights):
+    """Format only each lane's first finished episode (mask from evaluate)."""
     rows: List[str] = []
     for logs, mask in zip(all_logs, all_masks):
-        class _L:  # LogRecord view with done replaced by the first-done mask
-            pass
-        l = _L()
-        for f in logs._fields:
-            setattr(l, f, getattr(logs, f))
-        l.done = jnp.asarray(mask)
-        rows.extend(episode_log_rows(l, videos, users, traces, qoe_weights))
+        rows.extend(episode_log_rows(logs._replace(done=jnp.asarray(mask)),
+                                     videos, users, traces, qoe_weights))
     return rows
 
 
