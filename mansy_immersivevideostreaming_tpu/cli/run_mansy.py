@@ -234,8 +234,10 @@ def train(args, config, models_dir):
         rets = np.concatenate([np.asarray(l.ret)[m] for l, m in zip(vlogs, vmasks)])
         mean_reward = float(rets.mean())
 
-        save_checkpoint(checkpoint_path, params)
-        save_checkpoint(id_checkpoint_path, id_params)
+        if epoch % max(args.save_interval, 1) == 0:
+            # periodic checkpoint (reference save_interval, run_mansy.py:313)
+            save_checkpoint(checkpoint_path, params)
+            save_checkpoint(id_checkpoint_path, id_params)
         if mean_reward > best_reward:
             best_reward = mean_reward
             save_checkpoint(best_policy_path, params)

@@ -113,7 +113,8 @@ def train(args, config, models_dir, file_prefix):
                                    qoe_weights))
         rets = np.concatenate([np.asarray(l.ret)[m] for l, m in zip(vlogs, vmasks)])
         mean_reward = float(rets.mean())
-        save_checkpoint(checkpoint_path, params)
+        if epoch % 4 == 0:
+            save_checkpoint(checkpoint_path, params)
         if mean_reward > best_reward:
             best_reward = mean_reward
             save_checkpoint(best_policy_path, params)
