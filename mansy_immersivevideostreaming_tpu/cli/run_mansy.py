@@ -192,6 +192,13 @@ def train(args, config, models_dir):
     best_reward = float("-inf")
     env_step = 0
     for epoch in range(1, args.epochs + 1):
+        # optional entropy annealing (extension beyond the reference; off by
+        # default — linear decay from --ent-coef to --ent-final)
+        if args.ent_final is not None:
+            frac = (epoch - 1) / max(args.epochs - 1, 1)
+            ent_coef = args.ent_coef + frac * (args.ent_final - args.ent_coef)
+        else:
+            ent_coef = args.ent_coef
         t0 = time.time()
         metrics = {}
         for _ in range(collects_per_epoch):
@@ -217,7 +224,7 @@ def train(args, config, models_dir):
 
             params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
                 policy_apply, optimizer, cfg, params, opt_state, traj,
-                rewards, last_values, ret_rms, k_u)
+                rewards, last_values, ret_rms, k_u, ent_coef)
 
             runner.append_episode_logs(
                 train_log_path,
@@ -350,6 +357,9 @@ def build_parser():
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--vf-coef", type=float, default=0.5)
     parser.add_argument("--ent-coef", type=float, default=0.02)
+    parser.add_argument("--ent-final", type=float, default=None,
+                        help="(extension) linearly anneal entropy coef to "
+                             "this value over training")
     parser.add_argument("--eps-clip", type=float, default=0.2)
     parser.add_argument("--max-grad-norm", type=float, default=1)
     parser.add_argument("--gae-lambda", type=float, default=0.95)

@@ -47,7 +47,7 @@ def make_optimizer(lr: float, weight_decay: float = 1e-2) -> optax.GradientTrans
     )
 
 
-def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch):
+def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef):
     logits, value = apply_fn(params, batch["obs"])
     log_probs = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(log_probs, batch["action"][:, None], axis=-1)[:, 0]
@@ -68,7 +68,7 @@ def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch):
         vf_loss = ((batch["ret"] - value) ** 2).mean()
     probs = jax.nn.softmax(logits)
     entropy = -jnp.sum(probs * log_probs, axis=-1).mean()
-    loss = clip_loss + cfg.vf_coef * vf_loss - cfg.ent_coef * entropy
+    loss = clip_loss + cfg.vf_coef * vf_loss - ent_coef * entropy
     return loss, (clip_loss, vf_loss, entropy)
 
 
@@ -78,9 +78,15 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
                cfg: PPOConfig, params: Any, opt_state: Any,
                traj: Transition, rewards: jnp.ndarray,
                last_values: jnp.ndarray, ret_rms: RunningStat,
-               key: jax.Array):
+               key: jax.Array, ent_coef: jnp.ndarray | float | None = None):
     """Full PPO update on a [T, N] trajectory with (possibly recomputed)
-    ``rewards``.  Returns (params, opt_state, ret_rms, metrics)."""
+    ``rewards``.  Returns (params, opt_state, ret_rms, metrics).
+
+    ``ent_coef`` optionally overrides ``cfg.ent_coef`` as a *traced* scalar so
+    entropy-annealing schedules don't trigger recompiles."""
+    if ent_coef is None:
+        ent_coef = cfg.ent_coef
+    ent_coef = jnp.asarray(ent_coef, jnp.float32)
     T, N = rewards.shape
     adv, ret = compute_gae(rewards, traj.done.astype(jnp.float32), traj.value,
                            last_values, cfg.gamma, cfg.gae_lambda)
@@ -114,7 +120,8 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
             params, opt_state = carry
             mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
             (loss, aux), grads = jax.value_and_grad(
-                lambda p: _ppo_loss(apply_fn, p, cfg, mb), has_aux=True)(params)
+                lambda p: _ppo_loss(apply_fn, p, cfg, mb, ent_coef),
+                has_aux=True)(params)
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-8))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
