@@ -48,13 +48,15 @@ def simplify_network_dataset(dataset, config):
 
 
 def scale_trace(dataset, trace_pkl, up, low, config):
+    import numpy as np
+    from mansy_immersivevideostreaming_tpu.data.network import (
+        scale_trace as scale_throughputs)
     trace_path = os.path.join(config.network_dir(dataset), trace_pkl)
     with open(trace_path, "rb") as f:
         trace = pickle.load(f)
-    tps = [t[1] for t in trace]
-    max_, min_ = max(tps), min(tps)
-    k = (up - low) / (max_ - min_)
-    scaled = [(trace[i][0], low + k * (tps[i] - min_)) for i in range(len(trace))]
+    tps = np.asarray([t[1] for t in trace], np.float64)
+    scaled_tp = scale_throughputs(tps, up, low)
+    scaled = [(trace[i][0], float(scaled_tp[i])) for i in range(len(trace))]
     out = os.path.join(config.network_dir(dataset),
                        f"scaled_up_{up}_low_{low}" + trace_pkl)
     with open(out, "wb") as f:

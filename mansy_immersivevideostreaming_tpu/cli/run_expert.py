@@ -51,7 +51,7 @@ def _tables_fingerprint(tables) -> str:
     for arr in (tables.sizes, tables.qualities, tables.gt, tables.pred):
         a = np.asarray(arr)
         h.update(str(a.shape).encode())
-        h.update(np.ascontiguousarray(a[..., :: max(a.shape[-1] // 4, 1)]).tobytes())
+        h.update(np.ascontiguousarray(a).tobytes())
     return h.hexdigest()[:16]
 
 
@@ -86,37 +86,34 @@ def run_expert_episodes(tables, etables, samples, horizon: int,
     """
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     S = samples.shape[0]
+    n_steps = runner.episode_step_bound(tables)
+
+    # One compiled search graph shared by every full-size lane chunk (a jit
+    # inside the loop would recompile the 15^h-sequence MPC search per chunk).
+    @jax.jit
+    def run(sub):
+        n = sub.shape[0]
+        states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
+
+        def body(states, _):
+            obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+            actions = jax.vmap(
+                lambda s: choose_action(tables, etables, s, seqs))(states)
+            new_states, _, done, log = jax.vmap(
+                lambda s, a: step_env(tables, sub, s, a, n, False)
+            )(states, actions)
+            payload = (actions, done, log) + ((obs,) if collect_obs else ())
+            return new_states, payload
+
+        _, payload = jax.lax.scan(body, states, None, length=n_steps)
+        return payload
+
     out = []
     for s0 in range(0, S, lane_chunk):
         sub = samples[s0: s0 + lane_chunk]
-        n = sub.shape[0]
-
-        @jax.jit
-        def run(sub):
-            states = jax.vmap(lambda i: reset_env(tables, sub, i, n))(jnp.arange(n))
-
-            def body(states, _):
-                obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
-                actions = jax.vmap(
-                    lambda s: choose_action(tables, etables, s, seqs))(states)
-                new_states, _, done, log = jax.vmap(
-                    lambda s, a: step_env(tables, sub, s, a, n, False)
-                )(states, actions)
-                payload = (actions, done, log) + ((obs,) if collect_obs else ())
-                return new_states, payload
-
-            _, payload = jax.lax.scan(body, states, None,
-                                      length=runner.MAX_EPISODE_STEPS)
-            return payload
-
         payload = run(sub)
         actions, done, log = payload[0], payload[1], payload[2]
-        done_np = np.asarray(done)
-        first = np.zeros_like(done_np)
-        seen = np.zeros(n, bool)
-        for t in range(done_np.shape[0]):
-            first[t] = done_np[t] & ~seen
-            seen |= done_np[t]
+        first = runner.first_done_mask(np.asarray(done))
         out.append((log, first, np.asarray(actions),
                     payload[3] if collect_obs else None))
     return out

@@ -366,7 +366,9 @@ def build_parser():
     parser.add_argument("--rew-norm", type=int, default=1)
     parser.add_argument("--value-clip", type=int, default=1)
     parser.add_argument("--norm-adv", type=int, default=1)
-    parser.add_argument("--recompute-adv", type=int, default=0)
+    parser.add_argument("--recompute-adv", type=int, default=0,
+                        help="accepted for reference-CLI compatibility; the "
+                             "reference default (0) is the only supported mode")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--save-interval", type=int, default=4)
     parser.add_argument("--model", type=str, default="mansy")

@@ -71,7 +71,8 @@ def train(args, config, models_dir, file_prefix):
     cfg = a2c_mod.A2CConfig(
         gamma=args.gamma, gae_lambda=args.gae_lambda, vf_coef=args.vf_coef,
         ent_coef=args.ent_coef, max_grad_norm=args.max_grad_norm,
-        rew_norm=bool(args.rew_norm), minibatch=args.batch_size)
+        rew_norm=bool(args.rew_norm), minibatch=args.batch_size,
+        repeat=args.repeat_per_collect)
 
     n_lanes = args.train_lanes
     n_steps = max(args.step_per_collect // n_lanes, 1)

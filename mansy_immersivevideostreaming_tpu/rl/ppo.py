@@ -91,11 +91,12 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
     adv, ret = compute_gae(rewards, traj.done.astype(jnp.float32), traj.value,
                            last_values, cfg.gamma, cfg.gae_lambda)
     if cfg.rew_norm:
-        # tianshou normalizes returns by running std (no centering)
-        std = jnp.sqrt(ret_rms.var + 1e-8)
-        ret_n = ret / std
-        adv_n = adv / std
+        # tianshou-0.4.8 semantics: only the returns (value targets) are
+        # divided by the running return std; advantages stay unnormalized
+        # here and are normalized per minibatch when cfg.norm_adv
+        ret_n = ret / jnp.sqrt(ret_rms.var + 1e-8)
         ret_rms = ret_rms.update(ret)
+        adv_n = adv
     else:
         ret_n, adv_n = ret, adv
 
@@ -109,12 +110,13 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
         "ret": ret_n.reshape(-1),
     }
     total = T * N
-    n_mb = max(total // cfg.minibatch, 1)
-    usable = n_mb * cfg.minibatch
+    mb_size = min(cfg.minibatch, total)
+    n_mb = total // mb_size
+    usable = n_mb * mb_size
 
     def epoch(carry, k):
         params, opt_state = carry
-        perm = jax.random.permutation(k, total)[:usable].reshape(n_mb, cfg.minibatch)
+        perm = jax.random.permutation(k, total)[:usable].reshape(n_mb, mb_size)
 
         def mb_step(carry, idx):
             params, opt_state = carry

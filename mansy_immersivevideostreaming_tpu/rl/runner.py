@@ -25,9 +25,25 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
 from mansy_immersivevideostreaming_tpu.sim.tables import SimTables, build_sim_tables
 from mansy_immersivevideostreaming_tpu.utils.logging import ascii_table
 
-# Upper bound on episode length in chunks: videos are <= 60 s, 1 s chunks,
-# start at chunk 6 -> at most 55 steps (see reference config.yml:30-59).
+# Fallback upper bound on episode length in chunks (Jin2022: videos <= 60 s,
+# start at chunk 6).  Prefer episode_step_bound(tables), which derives the
+# bound from the actual data so longer datasets (e.g. Wu2017) work.
 MAX_EPISODE_STEPS = 60
+
+
+def episode_step_bound(tables: SimTables) -> int:
+    """Max steps an episode can take: last chunk - first downloaded chunk + 1."""
+    return int(np.asarray(tables.end_chunk).max()) - tables.startup_download
+
+
+def first_done_mask(done: np.ndarray) -> np.ndarray:
+    """[T, N] done flags -> mask selecting each lane's FIRST episode end."""
+    first = np.zeros_like(done)
+    seen = np.zeros(done.shape[1], bool)
+    for t in range(done.shape[0]):
+        first[t] = done[t] & ~seen
+        seen |= done[t]
+    return first
 
 
 def build_split(config: Config, dataset: str, network_dataset: str, mode: str,
@@ -88,6 +104,7 @@ def append_episode_logs(path: str, rows: List[str]) -> None:
 def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
     """Jitted single-pass evaluator over a sub-sample table [n, 4]; build once
     and reuse across epochs (a fresh jit per call would recompile)."""
+    n_steps = episode_step_bound(tables)
 
     @jax.jit
     def run(params, sub, key):
@@ -105,8 +122,7 @@ def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
             )(states, action)
             return (new_states, key), log
 
-        _, logs = jax.lax.scan(body, (states, key), None,
-                               length=MAX_EPISODE_STEPS)
+        _, logs = jax.lax.scan(body, (states, key), None, length=n_steps)
         return logs
 
     return run
@@ -133,15 +149,8 @@ def evaluate(apply_fn: Callable, params, tables: SimTables,
         sub = samples[s0: s0 + lane_chunk]
         n = sub.shape[0]
         logs = eval_fn(params, sub, jax.random.fold_in(key, s0))
-        done = np.asarray(logs.done)
-        first = np.zeros_like(done)
-        seen = np.zeros(n, bool)
-        for t in range(done.shape[0]):
-            newly = done[t] & ~seen
-            first[t] = newly
-            seen |= done[t]
         all_logs.append(logs)
-        all_masks.append(first)
+        all_masks.append(first_done_mask(np.asarray(logs.done)))
     return all_logs, all_masks
 
 
