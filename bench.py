@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_abr(n_lanes=4096, n_steps=128, iters=4):
+def bench_abr(n_lanes=8192, n_steps=128, iters=4):
     import jax
     import jax.numpy as jnp
 

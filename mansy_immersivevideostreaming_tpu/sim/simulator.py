@@ -115,7 +115,10 @@ def simulate_download_prefix(bw_row: jnp.ndarray, prefix_row: jnp.ndarray,
     rem = jnp.where(rem >= total, rem - total, rem)
     q = jnp.where(rem < 0, q - 1, q)
     rem = jnp.where(rem < 0, rem + total, rem)
-    r = jnp.clip(jnp.searchsorted(prefix_row, rem, side="right"), 1, L)
+    # smallest r with prefix[r] > rem == #{i: prefix[i] <= rem}.  A parallel
+    # comparison-sum beats the sequential binary search on TPU (the ~10
+    # dependent gather rounds of a vmapped searchsorted are latency-bound).
+    r = jnp.clip(jnp.sum(prefix_row <= rem), 1, L)
     n = (q.astype(jnp.int32) * L + r).astype(jnp.int32)
     n = jnp.maximum(n, j0)  # rounding guard; mathematically n > j0 - 1
     idxB = (n - 1) % L
