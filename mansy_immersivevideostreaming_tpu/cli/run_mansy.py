@@ -297,7 +297,8 @@ def test(args, config, models_dir, results_dir):
     policy_apply = lambda p, o: policy.apply({"params": p}, o)
     t0 = time.time()
     logs, masks = runner.evaluate(policy_apply, params, tables, samples,
-                                  observe_mansy, key)
+                                  observe_mansy, key,
+                                  deterministic=args.deterministic_eval)
     n_eps = int(sum(m.sum() for m in masks))
     print(f"Tested {n_eps} episodes in {time.time() - t0:.1f}s")
     rows = runner.masked_log_rows(logs, masks, videos, users, traces, qoe_weights)
@@ -394,6 +395,9 @@ def build_parser():
     parser.add_argument("--init-from-bc", action="store_true")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard env lanes over all devices (SPMD)")
+    parser.add_argument("--deterministic-eval", action="store_true",
+                        help="argmax actions at test time (tianshou "
+                             "deterministic_eval; reference default samples)")
     parser.add_argument("--config-yml", type=str, default=None)
     return parser
 

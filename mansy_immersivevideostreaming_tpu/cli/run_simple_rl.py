@@ -156,7 +156,8 @@ def test(args, config, models_dir, results_dir, file_prefix):
     policy_apply = lambda p, o: policy.apply({"params": p}, o)
 
     logs, masks = runner.evaluate(policy_apply, params, tables, samples,
-                                  observe_simple, key)
+                                  observe_simple, key,
+                                  deterministic=args.deterministic_eval)
     rows = runner.masked_log_rows(logs, masks, videos, users, traces, qoe_weights)
     runner.append_episode_logs(test_log_path, rows)
     runner.read_log_file(test_log_path)
@@ -220,6 +221,9 @@ def build_parser():
     parser.add_argument("--network-dataset", type=str, default="4G")
     parser.add_argument("--qoe-train-id", type=int)
     parser.add_argument("--qoe-test-ids", type=int, nargs="*")
+    parser.add_argument("--deterministic-eval", action="store_true",
+                        help="argmax actions at test time (tianshou "
+                             "deterministic_eval; reference default samples)")
     parser.add_argument("--config-yml", type=str, default=None)
     return parser
 

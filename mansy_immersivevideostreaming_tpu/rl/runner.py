@@ -101,9 +101,13 @@ def append_episode_logs(path: str, rows: List[str]) -> None:
             f.write(r + "\n")
 
 
-def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
+def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable,
+                 deterministic: bool = False):
     """Jitted single-pass evaluator over a sub-sample table [n, 4]; build once
-    and reuse across epochs (a fresh jit per call would recompile)."""
+    and reuse across epochs (a fresh jit per call would recompile).
+
+    ``deterministic`` selects argmax actions instead of sampling (tianshou's
+    ``deterministic_eval`` option; the reference test loop samples)."""
     n_steps = episode_step_bound(tables)
 
     @jax.jit
@@ -116,7 +120,10 @@ def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: observe_fn(tables, s))(states)
             logits, _ = apply_fn(params, obs)
-            action = jax.random.categorical(k_act, logits)
+            if deterministic:
+                action = jnp.argmax(logits, axis=-1)
+            else:
+                action = jax.random.categorical(k_act, logits)
             new_states, _, done, log = jax.vmap(
                 lambda s, a: step_env(tables, sub, s, a, n, False)
             )(states, action)
@@ -130,7 +137,8 @@ def make_eval_fn(apply_fn: Callable, tables: SimTables, observe_fn: Callable):
 
 def evaluate(apply_fn: Callable, params, tables: SimTables,
              samples: jnp.ndarray, observe_fn: Callable, key: jax.Array,
-             lane_chunk: int = 512, eval_fn: Callable | None = None):
+             lane_chunk: int = 512, eval_fn: Callable | None = None,
+             deterministic: bool = False):
     """Run every sample episode exactly once; returns per-chunk LogRecords
     plus per-sample first-done masks.
 
@@ -141,7 +149,7 @@ def evaluate(apply_fn: Callable, params, tables: SimTables,
     to reuse the compiled evaluator across calls.
     """
     if eval_fn is None:
-        eval_fn = make_eval_fn(apply_fn, tables, observe_fn)
+        eval_fn = make_eval_fn(apply_fn, tables, observe_fn, deterministic)
     S = samples.shape[0]
     all_logs = []
     all_masks = []
