@@ -86,3 +86,22 @@ def test_sharded_collect_and_ppo_update():
                         jax.tree_util.tree_leaves(
                             policy.init(jax.random.PRNGKey(0), _obs0())["params"])))
     assert changed
+
+
+def test_deterministic_eval_path():
+    from mansy_immersivevideostreaming_tpu.rl import runner
+    tables = synthetic_sim_tables()
+    samples = jnp.asarray(generate_environment_samples(2, 2, 2, 2))
+    policy = MansyActorCritic(hidden_dim=16)
+    params = policy.init(jax.random.PRNGKey(0), _obs0())["params"]
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+    logs, masks = runner.evaluate(apply_fn, params, tables, samples,
+                                  observe_mansy, jax.random.PRNGKey(1),
+                                  deterministic=True)
+    # every sample finished exactly once
+    assert sum(int(m.sum()) for m in masks) == samples.shape[0]
+    # deterministic: a second run with a different key gives identical logs
+    logs2, _ = runner.evaluate(apply_fn, params, tables, samples,
+                               observe_mansy, jax.random.PRNGKey(7),
+                               deterministic=True)
+    np.testing.assert_allclose(np.asarray(logs[0].qoe), np.asarray(logs2[0].qoe))
