@@ -136,6 +136,7 @@ def train(args, config, models_dir):
     id_checkpoint_path = os.path.join(models_dir, "identifier_checkpoint.ckpt")
     best_policy_path = os.path.join(models_dir, "best_policy.ckpt")
     best_identifier_path = os.path.join(models_dir, "best_identifier.ckpt")
+    anchor_params = None
 
     bc_file_prefix = (f"bc_ms_{args.bc_max_steps}_ims_{args.bc_identifier_max_steps}"
                       f"_ilr_{args.identifier_lr}_iur_{args.identifier_update_round}")
@@ -179,6 +180,9 @@ def train(args, config, models_dir):
         if os.path.exists(policy_bc_path):
             params = restore_checkpoint(policy_bc_path, params)
             print("Successfully init agent from behavior cloning:", policy_bc_path)
+            if args.bc_kl > 0:
+                anchor_params = jax.tree_util.tree_map(jnp.copy, params)
+                print(f"KL-to-BC anchor enabled (coef {args.bc_kl})")
         if os.path.exists(identifier_bc_path):
             id_params = restore_checkpoint(identifier_bc_path, id_params)
             print("Successfully init identifier from behavior cloning:",
@@ -222,9 +226,14 @@ def train(args, config, models_dir):
                 id_rew = id_rew.reshape(rewards.shape)
                 rewards = shape_rewards(rewards, id_rew, args.lamb)
 
+            anchor_logits = None
+            if anchor_params is not None:
+                a_logits, _ = jax.jit(policy_apply)(anchor_params, flat_obs)
+                anchor_logits = a_logits.reshape(traj.reward.shape + (-1,))
             params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
                 policy_apply, optimizer, cfg, params, opt_state, traj,
-                rewards, last_values, ret_rms, k_u, ent_coef)
+                rewards, last_values, ret_rms, k_u, ent_coef,
+                anchor_logits=anchor_logits, kl_coef=args.bc_kl)
 
             runner.append_episode_logs(
                 train_log_path,
@@ -393,6 +402,10 @@ def build_parser():
     parser.add_argument("--bc-valid-per-step", type=int, default=50)
     parser.add_argument("--bc-identifier-max-steps", type=int, default=150)
     parser.add_argument("--init-from-bc", action="store_true")
+    parser.add_argument("--bc-kl", type=float, default=0.0,
+                        help="(extension) KL penalty toward the frozen BC "
+                             "policy during PPO fine-tuning (requires "
+                             "--init-from-bc)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard env lanes over all devices (SPMD)")
     parser.add_argument("--deterministic-eval", action="store_true",

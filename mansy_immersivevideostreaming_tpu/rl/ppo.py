@@ -47,7 +47,7 @@ def make_optimizer(lr: float, weight_decay: float = 1e-2) -> optax.GradientTrans
     )
 
 
-def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef):
+def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef, kl_coef):
     logits, value = apply_fn(params, batch["obs"])
     log_probs = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(log_probs, batch["action"][:, None], axis=-1)[:, 0]
@@ -69,6 +69,14 @@ def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef):
     probs = jax.nn.softmax(logits)
     entropy = -jnp.sum(probs * log_probs, axis=-1).mean()
     loss = clip_loss + cfg.vf_coef * vf_loss - ent_coef * entropy
+    if "anchor_logits" in batch:
+        # conditioning-preserving fine-tune: KL(anchor || pi) toward a frozen
+        # (e.g. behavior-cloned) policy — keeps preference-conditioned modes
+        # from collapsing into the uniform attractor during PPO
+        a_logp = jax.nn.log_softmax(batch["anchor_logits"])
+        a_p = jnp.exp(a_logp)
+        kl = jnp.sum(a_p * (a_logp - log_probs), axis=-1).mean()
+        loss = loss + kl_coef * kl
     return loss, (clip_loss, vf_loss, entropy)
 
 
@@ -78,15 +86,20 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
                cfg: PPOConfig, params: Any, opt_state: Any,
                traj: Transition, rewards: jnp.ndarray,
                last_values: jnp.ndarray, ret_rms: RunningStat,
-               key: jax.Array, ent_coef: jnp.ndarray | float | None = None):
+               key: jax.Array, ent_coef: jnp.ndarray | float | None = None,
+               anchor_logits: jnp.ndarray | None = None,
+               kl_coef: jnp.ndarray | float = 0.0):
     """Full PPO update on a [T, N] trajectory with (possibly recomputed)
     ``rewards``.  Returns (params, opt_state, ret_rms, metrics).
 
     ``ent_coef`` optionally overrides ``cfg.ent_coef`` as a *traced* scalar so
-    entropy-annealing schedules don't trigger recompiles."""
+    entropy-annealing schedules don't trigger recompiles.  ``anchor_logits``
+    [T, N, A] (with ``kl_coef``) adds a KL penalty toward a frozen anchor
+    policy (see _ppo_loss)."""
     if ent_coef is None:
         ent_coef = cfg.ent_coef
     ent_coef = jnp.asarray(ent_coef, jnp.float32)
+    kl_coef = jnp.asarray(kl_coef, jnp.float32)
     T, N = rewards.shape
     adv, ret = compute_gae(rewards, traj.done.astype(jnp.float32), traj.value,
                            last_values, cfg.gamma, cfg.gae_lambda)
@@ -109,6 +122,9 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
         "adv": adv_n.reshape(-1),
         "ret": ret_n.reshape(-1),
     }
+    if anchor_logits is not None:
+        flat["anchor_logits"] = anchor_logits.reshape(
+            (T * N,) + anchor_logits.shape[2:])
     total = T * N
     mb_size = min(cfg.minibatch, total)
     n_mb = total // mb_size
@@ -122,7 +138,7 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
             params, opt_state = carry
             mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
             (loss, aux), grads = jax.value_and_grad(
-                lambda p: _ppo_loss(apply_fn, p, cfg, mb, ent_coef),
+                lambda p: _ppo_loss(apply_fn, p, cfg, mb, ent_coef, kl_coef),
                 has_aux=True)(params)
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-8))
