@@ -55,6 +55,7 @@ class ViewportTransformerMTIO(nn.Module):
     dropout: float = 0.2
     repeat_prob: float = 0.5
     use_pallas: bool = False
+    incremental: bool = True  # KV-cached decode (see _decode_incremental)
 
     def setup(self):
         self.embedding = nn.Dense(self.d_model)
@@ -75,11 +76,36 @@ class ViewportTransformerMTIO(nn.Module):
     def _predict_coords(self, h):
         return nn.sigmoid(self.predictor(h))
 
+    def _decode_incremental(self, memory, current, deterministic: bool):
+        """fut_window-step KV-cached decode — O(F) positions total.
+
+        Column-t equivalence with the full causal decode (see
+        ``DecoderLayer.step``) makes this produce exactly the reference's
+        autoregressive outputs (``mtio.py:150-166``) while doing 1 position
+        of decoder work per step instead of re-decoding the whole 1+F
+        buffer (the reference and :meth:`_decode_autoregressive` redo
+        O(F^2) work).  Returns the raw multi-head predictions [B, F, C].
+        """
+        F = self.fut_window
+        mem_kvs, sa_caches = self.transformer.init_decode_cache(memory, F)
+        x_t = current[:, :1]
+        preds = []
+        for t in range(F):
+            h = self.embedding(x_t) + self.pe[None, t: t + 1]
+            h = self.pe_dropout(h, deterministic=deterministic)
+            out, sa_caches = self.transformer.decode_step(
+                h, sa_caches, t, mem_kvs, deterministic)
+            pred = self._predict_coords(out[:, 0])
+            preds.append(pred)
+            x_t = pred[:, None, :]
+        return jnp.stack(preds, axis=1)
+
     def _decode_autoregressive(self, memory, current, deterministic: bool):
         """fut_window-step decode over a fixed [B, 1+F, C] buffer.
 
-        Equivalent to reference ``_process_src_current`` (``mtio.py:150-166``)
-        and the decode loop of ``sample`` (``mtio.py:117-131``).
+        Direct port of reference ``_process_src_current`` (``mtio.py:150-166``)
+        and the decode loop of ``sample`` (``mtio.py:117-131``); kept as the
+        parity oracle for :meth:`_decode_incremental` (tests/test_mtio.py).
         Returns the raw multi-head predictions [B, F, C].
         """
         B = current.shape[0]
@@ -139,7 +165,9 @@ class ViewportTransformerMTIO(nn.Module):
         deterministic = not train
         src = self._embed(multi_history, deterministic)
         memory = self.transformer.encode(src, deterministic)
-        pred = self._decode_autoregressive(memory, multi_current, deterministic)
+        decode = (self._decode_incremental if self.incremental
+                  else self._decode_autoregressive)
+        pred = decode(memory, multi_current, deterministic)
         return pred, multi_future
 
     def loss_function(self, pred, gt):
@@ -157,7 +185,9 @@ class ViewportTransformerMTIO(nn.Module):
         multi_current = jnp.tile(current, (1, 1, self.num_head))
         src = self._embed(multi_history, True)
         memory = self.transformer.encode(src, True)
-        pred = self._decode_autoregressive(memory, multi_current, True)
+        decode = (self._decode_incremental if self.incremental
+                  else self._decode_autoregressive)
+        pred = decode(memory, multi_current, True)
         # ensemble average over heads per coordinate (reference mtio.py:125-129)
         B, F, _ = pred.shape
         heads = pred.reshape(B, F, self.num_head, self.in_channel)

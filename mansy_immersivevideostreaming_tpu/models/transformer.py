@@ -23,32 +23,46 @@ import jax.numpy as jnp
 
 
 class MHA(nn.Module):
-    """Multi-head attention with a fused Pallas core.
+    """Multi-head attention with a fused Pallas core and a KV-cache path.
 
     Training mode uses the einsum path (attention-prob dropout matches torch
     ``nn.MultiheadAttention`` semantics); deterministic mode routes the
     QK^T -> softmax -> PV core through :func:`ops.pallas_kernels.mha_pallas`
     when ``use_pallas`` — one VMEM pass per (batch, head), no [L, L]
     intermediates in HBM.
+
+    For incremental autoregressive decoding, :meth:`project_kv` exposes the
+    key/value projections so callers can cache them across steps and
+    :meth:`attend` runs attention against a given cache — a step then costs
+    O(1) projections instead of re-projecting the whole prefix (the
+    reference re-decodes the full buffer every step, ``mtio.py:158-164``).
     """
+    d_model: int
     num_heads: int
     dropout: float = 0.1
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, q_in, kv_in, mask, deterministic: bool):
-        d_model = q_in.shape[-1]
-        dh = d_model // self.num_heads
+    def setup(self):
+        self.query = nn.Dense(self.d_model)
+        self.key = nn.Dense(self.d_model)
+        self.value = nn.Dense(self.d_model)
+        self.out = nn.Dense(self.d_model)
+        self.attn_drop = nn.Dropout(self.dropout)
+
+    def _split(self, y):
+        return y.reshape(y.shape[0], y.shape[1], self.num_heads,
+                         self.d_model // self.num_heads)
+
+    def project_kv(self, kv_in):
+        """(k, v) each [B, L, H, Dh] for caching."""
+        return self._split(self.key(kv_in)), self._split(self.value(kv_in))
+
+    def attend(self, q_in, k, v, mask, deterministic: bool):
+        """Attention of ``q_in`` [B, Lq, D] over projected ``k``/``v``."""
+        dh = self.d_model // self.num_heads
         B, Lq, _ = q_in.shape
-        Lk = kv_in.shape[1]
-
-        def proj(x, name):
-            y = nn.Dense(d_model, name=name)(x)
-            return y.reshape(x.shape[0], x.shape[1], self.num_heads, dh)
-
-        q = proj(q_in, "query")
-        k = proj(kv_in, "key")
-        v = proj(kv_in, "value")
+        Lk = k.shape[1]
+        q = self._split(self.query(q_in))
 
         if self.use_pallas and deterministic:
             from mansy_immersivevideostreaming_tpu.ops.pallas_kernels import (
@@ -64,9 +78,13 @@ class MHA(nn.Module):
             if mask is not None:
                 s = jnp.where(mask, s, -1e30)
             p = jax.nn.softmax(s, axis=-1)
-            p = nn.Dropout(self.dropout, deterministic=deterministic)(p)
+            p = self.attn_drop(p, deterministic=deterministic)
             o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
-        return nn.Dense(d_model, name="out")(o.reshape(B, Lq, d_model))
+        return self.out(o.reshape(B, Lq, self.d_model))
+
+    def __call__(self, q_in, kv_in, mask, deterministic: bool):
+        k, v = self.project_kv(kv_in)
+        return self.attend(q_in, k, v, mask, deterministic)
 
 
 class FeedForward(nn.Module):
@@ -92,7 +110,7 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        attn = MHA(self.nhead, self.dropout, self.use_pallas)(
+        attn = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)(
             x, x, None, deterministic)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
@@ -109,20 +127,48 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.sa = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)
+        self.ca = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)
+        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, memory, tgt_mask, deterministic: bool):
-        sa = MHA(self.nhead, self.dropout, self.use_pallas)(
-            x, x, tgt_mask, deterministic)
-        sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        x = nn.LayerNorm(epsilon=1e-5)(x + sa)
-        ca = MHA(self.nhead, self.dropout, self.use_pallas)(
-            x, memory, None, deterministic)
-        ca = nn.Dropout(self.dropout, deterministic=deterministic)(ca)
-        x = nn.LayerNorm(epsilon=1e-5)(x + ca)
-        ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)(
-            x, deterministic)
-        ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(epsilon=1e-5)(x + ff)
+        sa = self.sa(x, x, tgt_mask, deterministic)
+        x = self.norm1(x + self.drop(sa, deterministic=deterministic))
+        ca = self.ca(x, memory, None, deterministic)
+        x = self.norm2(x + self.drop(ca, deterministic=deterministic))
+        ff = self.ff(x, deterministic)
+        return self.norm3(x + self.drop(ff, deterministic=deterministic))
+
+    def step(self, x_t, sa_cache, t: int, mem_kv, deterministic: bool):
+        """One decode step with fixed-size KV caches.
+
+        ``x_t`` [B, 1, D] is the layer input at position ``t``; ``sa_cache``
+        is (k, v) preallocated [B, L, H, Dh] caches of this layer's input
+        projections; ``mem_kv`` is the precomputed cross-attention (k, v) of
+        the encoder memory.  Position t's new k/v are written into slot t and
+        attention masks out slots > t, so the result is exactly the full
+        causal decode's column t.  All steps share one shape, which keeps the
+        unrolled XLA graph small (growing-prefix shapes defeat subcomputation
+        reuse and ballooned compile time on the remote-compile tunnel).
+        Returns (out_t [B, 1, D], new sa_cache).
+        """
+        k_cache, v_cache = sa_cache
+        k_t, v_t = self.sa.project_kv(x_t)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, t, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, t, 0, 0))
+        mask = (jnp.arange(k_cache.shape[1]) <= t)[None, None, None, :]
+        sa = self.sa.attend(x_t, k_cache, v_cache, mask, deterministic)
+        x = self.norm1(x_t + self.drop(sa, deterministic=deterministic))
+        ca = self.ca.attend(x, mem_kv[0], mem_kv[1], None, deterministic)
+        x = self.norm2(x + self.drop(ca, deterministic=deterministic))
+        ff = self.ff(x, deterministic)
+        out = self.norm3(x + self.drop(ff, deterministic=deterministic))
+        return out, (k_cache, v_cache)
 
 
 class DistillLayer(nn.Module):
@@ -190,6 +236,30 @@ class Transformer(nn.Module):
         for layer in self.decoder_layers:
             h = layer(h, memory, tgt_mask, deterministic)
         return self.decoder_norm(h)
+
+    def init_decode_cache(self, memory, max_len: int):
+        """Precompute per-layer cross-attention (k, v) of the encoder memory
+        and zeroed fixed-size [B, max_len, H, Dh] self-attention caches."""
+        B = memory.shape[0]
+        dh = self.d_model // self.nhead
+        mem_kvs = [layer.ca.project_kv(memory) for layer in self.decoder_layers]
+        zeros = jnp.zeros((B, max_len, self.nhead, dh), memory.dtype)
+        sa_caches = [(zeros, zeros)] * len(self.decoder_layers)
+        return mem_kvs, sa_caches
+
+    def decode_step(self, x_t, sa_caches, t: int, mem_kvs,
+                    deterministic: bool = True):
+        """Incremental decode of position ``t`` [B, 1, D] through all layers.
+
+        Equivalent to column t of :meth:`decode` under a causal mask, at
+        O(1) per-step cost instead of O(t).  Returns (out_t, new sa_caches).
+        """
+        h = x_t
+        new_caches = []
+        for layer, cache, mem_kv in zip(self.decoder_layers, sa_caches, mem_kvs):
+            h, cache = layer.step(h, cache, t, mem_kv, deterministic)
+            new_caches.append(cache)
+        return self.decoder_norm(h), new_caches
 
     def __call__(self, src, tgt, tgt_mask=None, deterministic: bool = True):
         memory = self.encode(src, deterministic)

@@ -82,6 +82,40 @@ def test_decode_matches_growing_prefix(state):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_incremental_decode_matches_buffer_decode(state):
+    """KV-cached decode == fixed-buffer full decode, per head, both in
+    deterministic sample mode and in the train forward with the repeat slots
+    (identical eval metrics is the acceptance bar for the KV cache)."""
+    st, _ = state
+    rng = np.random.default_rng(7)
+    b = _batch(rng, B=6)
+    buf_model = ViewportTransformerMTIO(d_model=32, dim_feedforward=32,
+                                        fut_window=5, incremental=False)
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+
+    fast = sample_step(MODEL, st, b["history"], b["current"])
+    slow = jax.jit(lambda v, h, c: buf_model.apply(
+        v, h, c, method=ViewportTransformerMTIO.sample))(
+            variables, b["history"], b["current"])
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-4, atol=2e-5)
+
+    # eval-mode training forward (train=False disables dropout and the
+    # shuffle RNG, so the two decode paths must agree exactly)
+    pf, gf = MODEL.apply(variables, b["history"], b["current"], b["future"],
+                         train=False)
+    ps, gs = buf_model.apply(variables, b["history"], b["current"],
+                             b["future"], train=False)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), rtol=0, atol=0)
+    np.testing.assert_allclose(float(MODEL.apply(variables, pf, gf,
+                                                 method="loss_function")),
+                               float(MODEL.apply(variables, ps, gs,
+                                                 method="loss_function")),
+                               rtol=1e-5)
+
+
 def test_train_step_decreases_loss(state):
     st, opt = state
     # train_step donates its input state; work on a copy so the shared
