@@ -25,9 +25,25 @@ import time
 BASELINE_ENV_STEPS = 2581.0
 BASELINE_MTIO_SAMPLES = 18.3
 
+# TPU v5e peak: 197 TFLOP/s (bf16 MXU).  MFU is reported against this peak
+# regardless of compute dtype, the standard convention.
+PEAK_FLOPS_V5E = 197e12
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def flops_of(jitted, *args):
+    """XLA's own flop estimate for one call of a jitted function, or None."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:
+        log(f"[bench] cost_analysis unavailable: {e!r}")
+        return None
 
 
 def bench_abr(n_lanes=8192, n_steps=128, iters=4):
@@ -85,7 +101,13 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4):
     rate = iters * n_lanes * n_steps / dt
     log(f"[bench] abr rollout: {n_lanes} lanes x {n_steps} steps x {iters} iters "
         f"in {dt:.2f}s -> {rate:,.0f} env-steps/s")
-    return rate
+    flops = flops_of(collect, params, states, key)
+    mfu = None
+    if flops:
+        mfu = flops * iters / dt / PEAK_FLOPS_V5E
+        log(f"[bench] abr collect: {flops / 1e9:.2f} GFLOP/call -> "
+            f"MFU {mfu * 100:.2f}% of v5e bf16 peak")
+    return rate, mfu
 
 
 def bench_mtio(bs=512, iters=6):
@@ -117,7 +139,15 @@ def bench_mtio(bs=512, iters=6):
     log(f"[bench] mtio train: {iters} steps x bs {bs} in {dt:.2f}s "
         f"-> {rate:,.0f} samples/s (torch-CPU baseline {BASELINE_MTIO_SAMPLES}) "
         f"=> {rate / BASELINE_MTIO_SAMPLES:,.0f}x")
-    return rate
+    # train_step donates its state arg, so lower() on a fresh (undonated) copy
+    flops = flops_of(vp_train.train_step, model, optimizer,
+                     jax.tree.map(jnp.copy, state), batch, key)
+    mfu = None
+    if flops:
+        mfu = flops * iters / dt / PEAK_FLOPS_V5E
+        log(f"[bench] mtio train_step: {flops / 1e9:.2f} GFLOP/call -> "
+            f"MFU {mfu * 100:.2f}% of v5e bf16 peak")
+    return rate, mfu
 
 
 def main():
@@ -130,18 +160,25 @@ def main():
     except Exception as e:
         log(f"[bench] compilation cache unavailable: {e!r}")
     log(f"[bench] devices: {jax.devices()}")
-    abr_rate = bench_abr()
+    abr_rate, abr_mfu = bench_abr()
     try:
-        mtio_rate = bench_mtio()
+        mtio_rate, mtio_mfu = bench_mtio()
     except Exception as e:  # secondary benchmark must not sink the headline
         log(f"[bench] mtio bench failed: {e!r}")
-        mtio_rate = None
-    print(json.dumps({
+        mtio_rate = mtio_mfu = None
+    out = {
         "metric": "abr_env_steps_per_sec",
         "value": round(abr_rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(abr_rate / BASELINE_ENV_STEPS, 2),
-    }), flush=True)
+    }
+    if mtio_rate is not None:
+        out["mtio_samples_per_sec"] = round(mtio_rate, 1)
+        out["mtio_vs_baseline"] = round(mtio_rate / BASELINE_MTIO_SAMPLES, 2)
+    for k, v in (("mfu", abr_mfu), ("mtio_mfu", mtio_mfu)):
+        if v is not None:
+            out[k] = round(v, 5)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
