@@ -144,8 +144,10 @@ def train(args, config, models_dir):
     identifier_bc_path = os.path.join(models_dir, bc_file_prefix + "_identifier.ckpt")
     if args.bc:
         # behavior cloning initialization from expert demos
-        # (reference run_mansy.py:260-274)
-        import pickle
+        # (reference run_mansy.py:260-274); load_demonstrations also accepts
+        # the reference's pickled-tianshou-ReplayBuffer demo format
+        from mansy_immersivevideostreaming_tpu.data.tianshou_compat import (
+            load_demonstrations)
         from mansy_immersivevideostreaming_tpu.rl.bc import (
             behavior_cloning_pretraining)
         demos_dir = os.path.join(
@@ -155,10 +157,8 @@ def train(args, config, models_dir):
         train_demos_path = os.path.join(demos_dir, "train_demonstrations.pkl")
         valid_demos_path = os.path.join(demos_dir, "valid_demonstrations.pkl")
         assert os.path.exists(train_demos_path) and os.path.exists(valid_demos_path)
-        with open(train_demos_path, "rb") as f:
-            train_demos = list(pickle.load(f).values())
-        with open(valid_demos_path, "rb") as f:
-            valid_demos = list(pickle.load(f).values())
+        train_demos = list(load_demonstrations(train_demos_path).values())
+        valid_demos = list(load_demonstrations(valid_demos_path).values())
         params, opt_state, id_params, id_opt_state, _ = (
             behavior_cloning_pretraining(
                 policy_apply, optimizer, params, opt_state,
