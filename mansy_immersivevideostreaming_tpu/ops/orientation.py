@@ -71,3 +71,48 @@ def ang_to_geoxy(theta: np.ndarray, phi: np.ndarray, h: float, w: float):
     temp = 360.0 - temp
     y = temp / 360.0 * w
     return x, y
+
+
+def geoy_to_phi(geoy: np.ndarray, height: float) -> np.ndarray:
+    """Equirect height-axis pixel -> phi degrees (reference ``:40-43``).
+
+    Unused by the reference's own pipeline (only the inverse direction is
+    called from ``hmdtrace.py:45-47``); kept batched for API completeness."""
+    d = (height / 2.0 - np.asarray(geoy, np.float64)) / (height / 2.0)
+    return np.sign(d) * np.degrees(np.arcsin(np.abs(d)))
+
+
+def pixel_to_ang(x: np.ndarray, y: np.ndarray, geo_h: float, geo_w: float):
+    """Equirect pixel -> (theta, phi) degrees; inverse of
+    :func:`ang_to_geoxy` (reference ``head_orientation_lib.py:33-37``)."""
+    phi = geoy_to_phi(x, geo_h)
+    theta = -(np.asarray(y, np.float64) / geo_w) * 360.0
+    theta = np.where(theta < -180.0, 360.0 + theta, theta)
+    return theta, phi
+
+
+def adjust_pixel_dataset1(hi: np.ndarray, wi: np.ndarray, h: float, w: float):
+    """Height-axis flip with wrap (reference ``:95-99``)."""
+    hi = h - np.asarray(hi)
+    return np.where(hi < 0, hi + h, hi), np.asarray(wi)
+
+
+def adjust_pixel_dataset2(hi: np.ndarray, wi: np.ndarray, h: float, w: float):
+    """Width-axis flip with wrap (reference ``:88-92``)."""
+    wi = w - np.asarray(wi)
+    return np.asarray(hi), np.where(wi < 0, wi + w, wi)
+
+
+def adjust_pixellist_dataset(dataset: int, pixel_list, h: float, w: float):
+    """Reference ``head_orientation_lib.py:102-111`` (unused by its own
+    pipeline): apply the per-dataset pixel flip over an (hi, wi) list.
+    Returns an iterator of (hi, wi) pairs, as the reference does."""
+    if len(pixel_list):
+        hi, wi = np.asarray(pixel_list, np.float64).T
+    else:
+        hi = wi = np.zeros(0)
+    if dataset == 1:
+        hi, wi = adjust_pixel_dataset1(hi, wi, h, w)
+    elif dataset == 2:
+        hi, wi = adjust_pixel_dataset2(hi, wi, h, w)
+    return zip(hi.tolist(), wi.tolist())

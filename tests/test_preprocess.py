@@ -80,3 +80,53 @@ def test_vector_to_ang_batched_consistent():
         t_i, p_i = orientation.vector_to_ang(vs[i])
         assert float(t_b[i]) == pytest.approx(float(t_i), abs=1e-9)
         assert float(p_b[i]) == pytest.approx(float(p_i), abs=1e-9)
+
+
+def test_pixel_to_ang_helpers_match_scalar_oracle():
+    """pixel_to_ang/geoy_to_phi/adjust_pixel_* vs direct scalar ports of
+    reference head_orientation_lib.py:33-111 (dead code there, ported for
+    API completeness)."""
+    H, W = 1440.0, 2560.0
+
+    def oracle_geoy_to_phi(geoy, h):
+        d = (h / 2 - geoy) / (h / 2)
+        s = -1 if d < 0 else 1
+        return s * np.arcsin(abs(d)) / np.pi * 180
+
+    def oracle_pixel_to_ang(x, y, gh, gw):
+        phi = oracle_geoy_to_phi(x, gh)
+        theta = -(y / gw) * 360
+        if theta < -180:
+            theta = 360 + theta
+        return theta, phi
+
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(0, H, 64)
+    ys = rng.uniform(0, W, 64)
+    theta, phi = orientation.pixel_to_ang(xs, ys, H, W)
+    for i in range(64):
+        t0, p0 = oracle_pixel_to_ang(xs[i], ys[i], H, W)
+        np.testing.assert_allclose([theta[i], phi[i]], [t0, p0], rtol=1e-12)
+
+    # adjust helpers: flip with wrap, exactly the reference's branches
+    hi, wi = orientation.adjust_pixel_dataset1(np.array([0.0, H, 10.0]),
+                                               np.array([1.0, 2.0, 3.0]), H, W)
+    np.testing.assert_allclose(hi, [H, 0.0, H - 10.0])
+    np.testing.assert_allclose(wi, [1.0, 2.0, 3.0])
+    hi, wi = orientation.adjust_pixel_dataset2(np.array([1.0, 2.0]),
+                                               np.array([0.0, W + 5.0]), H, W)
+    np.testing.assert_allclose(wi, [W, W - 5.0 + W - W])
+    pairs = list(orientation.adjust_pixellist_dataset(
+        1, [(10.0, 20.0), (H, 30.0)], H, W))
+    np.testing.assert_allclose(pairs, [(H - 10.0, 20.0), (0.0, 30.0)])
+
+    # pixel_to_ang inverts ang_to_geoxy on the interior of the domain
+    thetas = rng.uniform(-179.0, 179.0, 32)
+    phis = rng.uniform(-89.0, 89.0, 32)
+    gx, gy = orientation.ang_to_geoxy(thetas, phis, H, W)
+    t2, p2 = orientation.pixel_to_ang(gx, gy, H, W)
+    np.testing.assert_allclose(p2, phis, atol=1e-9)
+    # theta wraps modulo 360
+    np.testing.assert_allclose(np.mod(t2 - thetas, 360.0),
+                               np.where(np.mod(t2 - thetas, 360.0) > 180,
+                                        360.0, 0.0), atol=1e-9)
