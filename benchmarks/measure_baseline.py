@@ -143,11 +143,136 @@ def measure_host_env_steps(n_steps: int = 2000) -> float:
     return n_steps / (time.time() - t0)
 
 
+def measure_reference_env_steps(n_steps: int = 400) -> tuple:
+    """Drive the reference's ACTUAL stack: its ``MANSYEnv`` + ``Simulator`` +
+    ``NetworkTrace`` classes stepped by its torch ``Actor`` policy, batch-of-1,
+    exactly like its serial test loop (``run_mansy.py:161-175``) and like one
+    lane of its training Collector.  gym/munch/prettytable are not installed
+    here, so minimal import shims stand in for them (the env only uses
+    ``gym.Env`` as a base class and ``spaces.Discrete`` as a label — no gym
+    logic runs); tianshou's Collector adds buffer bookkeeping on top, so this
+    still slightly favors the reference.
+
+    Returns (env+policy steps/s, env-only steps/s).
+    """
+    import os
+    import types
+
+    # ---- import shims for the reference's unavailable deps ----
+    gym = types.ModuleType("gym")
+    spaces = types.ModuleType("gym.spaces")
+
+    class _Env:
+        pass
+
+    class _Discrete:
+        def __init__(self, n):
+            self.n = n
+
+    gym.Env = _Env
+    spaces.Discrete = _Discrete
+    gym.spaces = spaces
+    sys.modules.setdefault("gym", gym)
+    sys.modules.setdefault("gym.spaces", spaces)
+
+    munch = types.ModuleType("munch")
+
+    class Munch(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    munch.Munch = Munch
+    sys.modules.setdefault("munch", munch)
+
+    prettytable = types.ModuleType("prettytable")
+
+    class PrettyTable:
+        def __init__(self, *a, **k):
+            self.rows = []
+
+        def add_row(self, row):
+            self.rows.append(row)
+
+        def __str__(self):
+            return "\n".join(map(str, self.rows))
+
+    prettytable.PrettyTable = PrettyTable
+    sys.modules.setdefault("prettytable", prettytable)
+
+    ref = "/root/reference/bitrate_selection"
+    sys.path.insert(0, ref)
+    cwd = os.getcwd()
+    os.chdir(ref)  # config.yml uses ../datasets/ relative paths
+    try:
+        import torch
+        from envs.mansy_env import MANSYEnv
+        from models.mansy import Actor, FeatureNet
+        from utils.common import get_config_from_yml
+
+        config = get_config_from_yml("../config.yml")
+        qoe_weights = [config.qoe_split["train"][i] for i in range(4)]
+        env = MANSYEnv(config, "Jin2022", "4G", qoe_weights, identifier=None,
+                       lamb=0.5, log_path="/tmp/ref_baseline_log.csv",
+                       startup_download=config.startup_download, mode="train",
+                       seed=1, worker_num=1, device="cpu", use_identifier=False)
+        feature_net = FeatureNet(config.past_k, config.tile_total_num,
+                                 len(config.video_rates), hidden_dim=128,
+                                 device="cpu")
+        actor = Actor(feature_net, 10 * 128, 128, config.action_space, "cpu")
+
+        def policy_step(state):
+            obs = {k: np.expand_dims(v, 0).astype(np.float32)
+                   for k, v in state.items()}
+            with torch.no_grad():
+                logits, _ = actor(obs)
+            return int(torch.argmax(logits, dim=-1).item())
+
+        # warmup + steady-state measurement, auto-resetting across episodes
+        state = env.reset()
+        for _ in range(10):
+            state, _, done, _ = env.step(policy_step(state))
+            if done:
+                state = env.reset()
+        t0 = time.time()
+        for _ in range(n_steps):
+            state, _, done, _ = env.step(policy_step(state))
+            if done:
+                state = env.reset()
+        full_rate = n_steps / (time.time() - t0)
+
+        t0 = time.time()
+        act = 0
+        for i in range(n_steps):
+            state, _, done, _ = env.step(act)
+            act = (act + 1) % 15
+            if done:
+                state = env.reset()
+        env_rate = n_steps / (time.time() - t0)
+        return full_rate, env_rate
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(ref)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--skip-reference-stack", action="store_true")
     args = p.parse_args()
     env_rate = measure_host_env_steps()
     print(f"host_env_steps_per_sec: {env_rate:,.0f}")
+    if not args.skip_reference_stack:
+        try:
+            full, env_only = measure_reference_env_steps()
+            print(f"reference_stack_env_policy_steps_per_sec: {full:,.0f}")
+            print(f"reference_stack_env_only_steps_per_sec: {env_only:,.0f}")
+        except Exception as e:
+            print(f"reference-stack measurement failed: {e!r}")
     mtio_rate = measure_mtio_torch(args.steps)
     print(f"torch_cpu_mtio_train_samples_per_sec: {mtio_rate:,.1f}")

@@ -33,7 +33,8 @@ from mansy_immersivevideostreaming_tpu.models.abr_nets import (
 )
 from mansy_immersivevideostreaming_tpu.rl import ppo as ppo_mod
 from mansy_immersivevideostreaming_tpu.rl.identifier import (
-    identifier_rewards, shape_rewards, train_identifier_on_buffer,
+    center_rewards_by_preference, identifier_rewards, shape_rewards,
+    train_identifier_on_buffer,
 )
 from mansy_immersivevideostreaming_tpu.rl import runner
 from mansy_immersivevideostreaming_tpu.rl.rollout import (
@@ -203,6 +204,13 @@ def train(args, config, models_dir):
             ent_coef = args.ent_coef + frac * (args.ent_final - args.ent_coef)
         else:
             ent_coef = args.ent_coef
+        # optional λ warm-up (extension; off by default): identifier shaping
+        # ramps in over --lamb-warmup epochs so early training is driven by
+        # the QoE gradient before the representation bonus kicks in
+        if args.lamb_warmup > 0:
+            lamb = args.lamb * min((epoch - 1) / args.lamb_warmup, 1.0)
+        else:
+            lamb = args.lamb
         t0 = time.time()
         metrics = {}
         for _ in range(collects_per_epoch):
@@ -224,7 +232,14 @@ def train(args, config, models_dir):
             if args.use_identifier:
                 id_rew = identifier_rewards(id_apply, id_params, flat_obs)
                 id_rew = id_rew.reshape(rewards.shape)
-                rewards = shape_rewards(rewards, id_rew, args.lamb)
+                if args.id_reward_center:
+                    prefs = jnp.asarray(
+                        [np.asarray(w) / np.sum(w) for w in qoe_weights],
+                        jnp.float32)
+                    id_rew = center_rewards_by_preference(
+                        id_rew, flat_obs["qoe_weight"].reshape(
+                            rewards.shape + (-1,)), prefs)
+                rewards = shape_rewards(rewards, id_rew, lamb)
 
             anchor_logits = None
             if anchor_params is not None:
@@ -386,6 +401,12 @@ def build_parser():
     parser.add_argument("--identifier-lr", type=float, default=1e-4)
     parser.add_argument("--identifier-update-round", type=int, default=2)
     parser.add_argument("--lamb", type=float, default=0.5)
+    parser.add_argument("--lamb-warmup", type=int, default=0,
+                        help="ramp the identifier-shaping λ from 0 to --lamb "
+                             "over this many epochs (extension; 0 = off)")
+    parser.add_argument("--id-reward-center", action="store_true",
+                        help="subtract the per-preference batch mean from the "
+                             "identifier reward before shaping (extension)")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--train-identifier", action="store_true")
     parser.add_argument("--use-identifier", action="store_true")

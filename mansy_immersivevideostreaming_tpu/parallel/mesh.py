@@ -40,4 +40,35 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
     mesh.  Under ``jax.jit`` this makes the whole step SPMD: XLA partitions
     the compute and inserts collectives automatically."""
     sharding = data_parallel_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: global_put(x, sharding), batch)
+
+
+def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-process this is ``jax.device_put``.  Multi-process, the sharding
+    spans non-addressable devices, so the global array is assembled from
+    per-shard callbacks — every process must hold the same full host array
+    (true for replicated params/tables and for deterministic batch
+    generation, which is how this framework stages data)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host / multi-slice initialization (SURVEY §2.8's DCN story).
+
+    Thin wrapper over ``jax.distributed.initialize``: after this, every
+    process sees the global device set, ``make_mesh`` builds a mesh spanning
+    all hosts, and XLA routes collectives over ICI within a slice and
+    DCN/Gloo across slices — the reference has no distributed backend to
+    mirror (its parallelism is ``multiprocessing.Pool``), so this is the
+    TPU-native replacement.  On TPU pods the arguments are auto-detected
+    from the environment; on CPU/GPU pass them explicitly."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

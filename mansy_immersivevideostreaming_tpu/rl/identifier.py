@@ -39,6 +39,36 @@ def shape_rewards(qoe_rewards: jnp.ndarray, id_rewards: jnp.ndarray,
     return (1.0 - lamb) * qoe_rewards + lamb * id_rewards
 
 
+@jax.jit
+def center_rewards_by_preference(id_rewards: jnp.ndarray,
+                                 qoe_weight: jnp.ndarray,
+                                 prefs: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the per-preference batch mean from the identifier reward.
+
+    Extension beyond the reference (opt-in ``--id-reward-center``),
+    motivated by its documented failure mode: once the identifier fits,
+    ``1 - MSE`` is a near-constant bonus per preference, which at the
+    reference's λ=0.5 drowns the QoE gradient and collapses training to a
+    preference-uniform policy (BASELINE.md).  Centering within each
+    preference group removes the constant offset so GAE only sees the
+    *variation* — the "does this behavior reveal my preference" signal the
+    MANSY paper intends — while leaving cross-group QoE scales untouched.
+
+    ``id_rewards`` may be any shape whose elements align with
+    ``qoe_weight``'s leading axes; ``qoe_weight`` is [..., 3] normalized
+    preferences; ``prefs`` is [K, 3], the normalized training preference set.
+    """
+    flat_r = id_rewards.reshape(-1)
+    flat_w = qoe_weight.reshape(-1, qoe_weight.shape[-1])
+    # one-hot membership of every transition in its preference group
+    dist = jnp.sum((flat_w[:, None, :] - prefs[None, :, :]) ** 2, axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmin(dist, axis=-1), prefs.shape[0])
+    group_sum = onehot.T @ flat_r
+    group_cnt = jnp.maximum(onehot.sum(axis=0), 1.0)
+    centered = flat_r - onehot @ (group_sum / group_cnt)
+    return centered.reshape(id_rewards.shape)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4), donate_argnums=(2, 3))
 def _identifier_rounds(apply_fn: Callable, optimizer: optax.GradientTransformation,
                        params: Any, opt_state: Any, rounds: int,

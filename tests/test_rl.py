@@ -156,3 +156,19 @@ def test_running_stat():
         rs = rs.update(jnp.asarray(chunk))
     assert float(rs.mean) == pytest.approx(3.0, abs=0.2)
     assert float(jnp.sqrt(rs.var)) == pytest.approx(2.0, abs=0.2)
+
+
+def test_center_rewards_by_preference():
+    """Per-group centering removes constant per-preference offsets and leaves
+    within-group variation intact."""
+    import jax.numpy as jnp
+    from mansy_immersivevideostreaming_tpu.rl.identifier import (
+        center_rewards_by_preference)
+
+    prefs = jnp.asarray([[7, 1, 1], [1, 7, 1]], jnp.float32)
+    prefs = prefs / prefs.sum(axis=1, keepdims=True)
+    # lanes 0-1 -> pref 0 with rewards 0.9/1.1; lanes 2-3 -> pref 1, 0.4/0.6
+    id_rew = jnp.asarray([[0.9, 1.1, 0.4, 0.6]] * 3)  # [T=3, N=4]
+    w = jnp.stack([jnp.stack([prefs[0], prefs[0], prefs[1], prefs[1]])] * 3)
+    out = np.asarray(center_rewards_by_preference(id_rew, w, prefs))
+    np.testing.assert_allclose(out, [[-0.1, 0.1, -0.1, 0.1]] * 3, atol=1e-6)
