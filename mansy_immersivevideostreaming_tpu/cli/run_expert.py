@@ -128,6 +128,14 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
 
     tables, samples, videos, users, traces = runner.build_split(
         config, args.train_dataset, args.network_dataset, mode, qoe_weights)
+    if args.demo_samples:
+        # widen the demo grid past the reference's round-robin cap
+        # (--demo-samples; stratified coverage, see generate_demo_samples)
+        from mansy_immersivevideostreaming_tpu.sim.env import generate_demo_samples
+        import jax.numpy as jnp
+        samples = jnp.asarray(generate_demo_samples(
+            len(videos), len(users), len(traces), len(qoe_weights),
+            args.demo_samples, args.seed))
     etables = get_expert_tables(tables, cache_path, args.refresh_cache)
     print("Total samples:", samples.shape[0])
 
@@ -238,6 +246,10 @@ def build_parser():
     parser.add_argument("--lane-chunk", type=int, default=64,
                         help="episodes evaluated concurrently")
     parser.add_argument("--horizon", type=int, default=4)
+    parser.add_argument("--demo-samples", type=int, default=0,
+                        help="widen the demo grid to this many stratified "
+                             "(video,user,trace,qoe) episodes (extension; "
+                             "0 = reference round-robin schedule)")
     parser.add_argument("--refresh-cache", action="store_true")
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--device", type=str, default=None)

@@ -54,6 +54,25 @@ def generate_environment_samples(num_videos: int, num_users: int,
                      idx % num_traces, idx % num_qoe], axis=1).astype(np.int32)
 
 
+def generate_demo_samples(num_videos: int, num_users: int, num_traces: int,
+                          num_qoe: int, total: int, seed: int = 0) -> np.ndarray:
+    """Stratified random (video, user, trace, qoe) schedule of ``total`` rows.
+
+    Extension beyond the reference (whose round-robin schedule,
+    ``utils/common.py:60-84``, caps expert-demo coverage at ~|video|·|qoe|
+    episodes): each column is a concatenation of independent permutations, so
+    every id appears equally often (±1) while the cross-combinations are
+    randomized — Latin-hypercube-style coverage for large demo grids.
+    """
+    rng = np.random.default_rng(seed)
+    cols = []
+    for n in (num_videos, num_users, num_traces, num_qoe):
+        reps = math.ceil(total / n)
+        col = np.concatenate([rng.permutation(n) for _ in range(reps)])[:total]
+        cols.append(col)
+    return np.stack(cols, axis=1).astype(np.int32)
+
+
 def generate_environment_test_samples(num_videos: int, num_users: int,
                                       num_traces: int, num_qoe: int) -> np.ndarray:
     """Full cartesian product; reference ``utils/common.py:87-98``."""

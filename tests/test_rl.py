@@ -172,3 +172,13 @@ def test_center_rewards_by_preference():
     w = jnp.stack([jnp.stack([prefs[0], prefs[0], prefs[1], prefs[1]])] * 3)
     out = np.asarray(center_rewards_by_preference(id_rew, w, prefs))
     np.testing.assert_allclose(out, [[-0.1, 0.1, -0.1, 0.1]] * 3, atol=1e-6)
+
+
+def test_generate_demo_samples_balanced():
+    from mansy_immersivevideostreaming_tpu.sim.env import generate_demo_samples
+
+    s = generate_demo_samples(18, 45, 24, 4, 1440, seed=1)
+    assert s.shape == (1440, 4)
+    for col, n in zip(s.T, (18, 45, 24, 4)):
+        cnt = np.bincount(col, minlength=n)
+        assert cnt.min() >= 1440 // n - 1 and cnt.max() <= 1440 // n + 1
