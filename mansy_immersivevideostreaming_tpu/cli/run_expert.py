@@ -128,9 +128,10 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
 
     tables, samples, videos, users, traces = runner.build_split(
         config, args.train_dataset, args.network_dataset, mode, qoe_weights)
-    if args.demo_samples:
-        # widen the demo grid past the reference's round-robin cap
-        # (--demo-samples; stratified coverage, see generate_demo_samples)
+    if args.demo_samples and mode == "train":
+        # widen the train demo grid past the reference's round-robin cap
+        # (--demo-samples; stratified coverage, see generate_demo_samples);
+        # the valid set keeps the reference schedule — it only scores BC
         from mansy_immersivevideostreaming_tpu.sim.env import generate_demo_samples
         import jax.numpy as jnp
         samples = jnp.asarray(generate_demo_samples(

@@ -80,21 +80,37 @@ def train(args, config, model, optimizer, state, models_dir, file_prefix):
     if mesh is not None:
         from mansy_immersivevideostreaming_tpu.parallel.mesh import replicate
         state = jax.device_put(state, replicate(mesh))
+    device_data = None
+    if mesh is None:
+        # single-device: stage the whole split in HBM once and run each
+        # epoch as one on-device scan (vp_train.train_epoch)
+        h, c, f, *_ = ds_train.gather(np.arange(len(ds_train)))
+        device_data = {"history": jnp.asarray(h), "current": jnp.asarray(c),
+                       "future": jnp.asarray(f)}
     best_valid_mse, best_epoch = float("inf"), 0
     for epoch in range(args.epochs):
         print(f"Epoch {epoch + 1}/{args.epochs}\n-------------------------------")
         t0 = time.time()
-        losses = []
         nsamples = 0
-        for h, c, f, *_ in batches(ds_train, args.bs, True, rng, drop_remainder=True):
-            batch = {"history": jnp.asarray(h), "current": jnp.asarray(c),
-                     "future": jnp.asarray(f)}
-            if mesh is not None:
+        if device_data is not None:
+            perm = rng.permutation(len(ds_train))
+            state, losses = vp_train.train_epoch(
+                model, optimizer, state, device_data, args.bs,
+                jnp.asarray(perm), key)
+            losses = np.asarray(losses)
+            nsamples = losses.shape[0] * args.bs
+        else:
+            losses = []
+            for h, c, f, *_ in batches(ds_train, args.bs, True, rng,
+                                       drop_remainder=True):
+                batch = {"history": jnp.asarray(h), "current": jnp.asarray(c),
+                         "future": jnp.asarray(f)}
                 from mansy_immersivevideostreaming_tpu.parallel.mesh import shard_batch
                 batch = shard_batch(mesh, batch)
-            state, loss = vp_train.train_step(model, optimizer, state, batch, key)
-            losses.append(loss)
-            nsamples += h.shape[0]
+                state, loss = vp_train.train_step(model, optimizer, state,
+                                                  batch, key)
+                losses.append(loss)
+                nsamples += h.shape[0]
         mean_loss = float(np.mean([float(l) for l in losses]))
         dt = time.time() - t0
         print(f"Train: mean train loss: {mean_loss:>9f} "

@@ -153,3 +153,37 @@ def test_linear_regression_matches_polyfit():
             coef = np.polyfit(t, merge[i, :, a], 1)
             want = coef[0] * tf + coef[1]
             np.testing.assert_allclose(got[i, :, a], want, rtol=1e-3, atol=1e-4)
+
+
+def test_train_epoch_matches_looped_train_steps(state):
+    """On-device epoch scan == looping train_step over the same shuffled
+    minibatches (same fold-in rng, same permutation => identical params)."""
+    st, opt = state
+    rng = np.random.default_rng(3)
+    n, bs = 20, 8
+    data = {
+        "history": jnp.asarray(rng.random((n, 5, 2), dtype=np.float32)),
+        "current": jnp.asarray(rng.random((n, 1, 2), dtype=np.float32)),
+        "future": jnp.asarray(rng.random((n, 5, 2), dtype=np.float32)),
+    }
+    key = jax.random.PRNGKey(9)
+    perm = np.random.default_rng(4).permutation(n)
+
+    from mansy_immersivevideostreaming_tpu.models.vp_train import train_epoch
+
+    st_loop = jax.tree_util.tree_map(jnp.copy, st)
+    losses_loop = []
+    for start in range(0, n - n % bs, bs):
+        ib = perm[start: start + bs]
+        batch = {k: v[jnp.asarray(ib)] for k, v in data.items()}
+        st_loop, loss = train_step(MODEL, opt, st_loop, batch, key)
+        losses_loop.append(float(loss))
+
+    st_scan, losses_scan = train_epoch(
+        MODEL, opt, jax.tree_util.tree_map(jnp.copy, st), data, bs,
+        jnp.asarray(perm), key)
+    np.testing.assert_allclose(np.asarray(losses_scan), losses_loop, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        st_scan.params, st_loop.params)
