@@ -31,7 +31,10 @@ def preprocess_hmd_trace(dataset: str, config) -> None:
     out_dir = config.viewport_dir(dataset)
 
     if dataset == "Wu2017":
-        origin_video_num, origin_user_num = 9, 48
+        # raw Wu2017 ships 9 videos x 48 users (reference hmdtrace.py:24);
+        # config entries override for smaller/synthetic trees
+        origin_video_num = config.video_num.get(dataset, 9)
+        origin_user_num = config.user_num.get(dataset, 48)
         for i in range(1, origin_video_num + 1):
             for j in range(1, origin_user_num + 1):
                 raw_path = os.path.join(raw_dir, str(j), f"video_{i - 1}.csv")
