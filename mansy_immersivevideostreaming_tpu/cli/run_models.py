@@ -177,6 +177,13 @@ def build_model(args):
 
 def run(args, config):
     assert args.model in ("regression", "mtio")
+    # None -> config backfill (reference run_models.py:198-203); kept in
+    # run() so programmatic callers get the same semantics as main()
+    args.trim_head = config.trim_head if args.trim_head is None else args.trim_head
+    args.trim_tail = config.trim_tail if args.trim_tail is None else args.trim_tail
+    args.dataset_frequency = (config.frequency if args.dataset_frequency is None
+                              else args.dataset_frequency)
+    args.sample_step = config.sample_step if args.sample_step is None else args.sample_step
     key = seed_everything(args.seed)
 
     models_dir = os.path.join(config.vp_models_dir, args.model,

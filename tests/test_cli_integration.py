@@ -1,0 +1,90 @@
+"""Miniature end-to-end CLI integration tests on a synthetic dataset tree.
+
+Exercises the full 400-line training loops the arg-surface tests can't
+(VERDICT round-1 item 9): 2-epoch ``run_models --train --test``, 2-epoch
+``run_mansy --train --test``, and ``run_expert --test`` — all CPU, tiny
+shapes, hermetic tree from :mod:`synthetic_tree`.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from synthetic_tree import build_synthetic_tree
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    base = tmp_path_factory.mktemp("synth")
+    cfg = build_synthetic_tree(str(base))
+    return str(base), cfg
+
+
+def test_run_models_train_test_end_to_end(tree):
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_models
+
+    args = run_models.build_parser().parse_args([
+        "--train", "--test", "--model", "mtio", "--hidden-dim", "16",
+        "--block-num", "1", "--his-window", "3", "--fut-window", "5",
+        "--trim-head", "5", "--trim-tail", "5", "--sample-step", "2",
+        "--epochs", "2", "--epochs-per-valid", "1", "--bs", "16",
+        "--lr", "1e-3", "--device", "cpu"])
+    run_models.run(args, cfg)
+
+    ckpts = glob.glob(os.path.join(
+        base, "models", "viewport_prediction", "**", "*_best_model.ckpt"),
+        recursive=True)
+    assert ckpts, "best model checkpoint not written"
+    csvs = glob.glob(os.path.join(
+        base, "results", "viewport_prediction", "**", "*_results.csv"),
+        recursive=True)
+    assert len(csvs) >= 2  # seen + unseen
+    assert os.path.getsize(csvs[0]) > 0
+
+
+def test_run_mansy_train_test_end_to_end(tree):
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_mansy
+
+    common = [
+        "--use-identifier", "--train-identifier", "--epochs", "2",
+        "--step-per-epoch", "64", "--step-per-collect", "64",
+        "--train-lanes", "8", "--batch-size", "64", "--hidden-dim", "16",
+        "--save-interval", "1"]
+    args = run_mansy.build_parser().parse_args(["--train"] + common)
+    run_mansy.run(args, cfg)
+    ckpts = glob.glob(os.path.join(
+        base, "models", "bitrate_selection", "mansy", "**",
+        "best_policy.ckpt"), recursive=True)
+    assert ckpts, "best policy not written"
+
+    args = run_mansy.build_parser().parse_args(
+        ["--test", "--test-on-seen", "--deterministic-eval"] + common)
+    run_mansy.run(args, cfg)
+    results = glob.glob(os.path.join(
+        base, "results", "bitrate_selection", "mansy", "**", "results.csv"),
+        recursive=True)
+    assert results
+    rows = open(results[0]).read().strip().splitlines()
+    # header + test grid: 1 video x 1 user x 1 trace x 4 qoe = 4 episodes
+    assert len(rows) == 1 + 4
+    qoe = np.asarray([float(r.split(",")[6]) for r in rows[1:]])
+    assert np.all(np.isfinite(qoe))
+
+
+def test_run_expert_test_end_to_end(tree):
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_expert
+
+    args = run_expert.build_parser().parse_args([
+        "--test", "--test-on-seen", "--horizon", "2", "--lane-chunk", "8"])
+    run_expert.run(args, cfg)
+    results = glob.glob(os.path.join(
+        base, "results", "bitrate_selection", "expert", "**", "results.csv"),
+        recursive=True)
+    assert results
+    rows = open(results[0]).read().strip().splitlines()
+    assert len(rows) == 1 + 4
