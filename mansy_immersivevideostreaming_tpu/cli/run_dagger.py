@@ -1,0 +1,183 @@
+"""DAgger CLI: aggregate MPC-expert labels on the policy's own states.
+
+Extension beyond the reference (see ``rl/dagger.py``).  Starts from expert
+demos (native or reference-tianshou pickles), optionally from a
+behavior-cloned checkpoint, then alternates policy rollouts labeled by the
+vmapped MPC expert with CE retraining on the aggregate.  The best policy by
+valid-split mean return is saved in a ``run_mansy``-compatible checkpoint,
+usable via ``run_mansy --test --policy-path ...``.
+
+Example::
+
+    python -m mansy_immersivevideostreaming_tpu.cli.run_dagger \
+        --rounds 8 --lanes 32 --bc-steps 300 --horizon 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from mansy_immersivevideostreaming_tpu.config import load_config
+from mansy_immersivevideostreaming_tpu.cli.run_expert import get_expert_tables
+from mansy_immersivevideostreaming_tpu.data.tianshou_compat import (
+    load_demonstrations,
+)
+from mansy_immersivevideostreaming_tpu.models.abr_nets import MansyActorCritic
+from mansy_immersivevideostreaming_tpu.rl import dagger, runner
+from mansy_immersivevideostreaming_tpu.rl import ppo as ppo_mod
+from mansy_immersivevideostreaming_tpu.sim.env import (
+    generate_demo_samples, observe_mansy,
+)
+from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
+    restore_checkpoint, save_checkpoint,
+)
+from mansy_immersivevideostreaming_tpu.utils.prng import (
+    enable_compilation_cache, seed_everything,
+)
+
+
+def dummy_obs(config):
+    import jax.numpy as jnp
+    return {
+        "throughput": jnp.zeros((2, 8)), "next_chunk_size": jnp.zeros((2, 5, 64)),
+        "next_chunk_quality": jnp.zeros((2, 5, 64)),
+        "pred_viewport": jnp.zeros((2, 64)), "rates_inside": jnp.zeros((2, 8)),
+        "rates_outside": jnp.zeros((2, 8)), "viewport_acc": jnp.zeros((2, 8)),
+        "buffer": jnp.zeros((2, 1)), "qoe_weight": jnp.zeros((2, 3)),
+        "action_one_hot": jnp.zeros((2, 15)),
+        "past_viewport_qualities": jnp.zeros((2, 8)),
+        "past_quality_variances": jnp.zeros((2, 8)),
+        "past_rebuffering": jnp.zeros((2, 8)),
+    }
+
+
+def run(args, config):
+    import jax.numpy as jnp
+
+    key = seed_everything(args.seed)
+    qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
+    models_dir = os.path.join(
+        config.bs_models_dir, "expert",
+        args.train_dataset + "_" + args.network_dataset,
+        "qoe" + "_".join(map(str, args.qoe_train_ids)))
+    cache_path = os.path.join(config.bs_models_dir, "expert",
+                              f"{args.train_dataset}_cache.pkl")
+
+    tables, _, videos, users, traces = runner.build_split(
+        config, args.train_dataset, args.network_dataset, "train", qoe_weights)
+    etables = get_expert_tables(tables, cache_path, False)
+    vweights = [config.qoe_split["valid"][i] for i in args.qoe_train_ids]
+    vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
+        config, args.train_dataset, args.network_dataset, "valid", vweights)
+
+    demos_path = args.demos_path or os.path.join(models_dir,
+                                                 "train_demonstrations.pkl")
+    demos = list(load_demonstrations(demos_path).values())
+    dataset = dagger.flatten_demos(demos)
+    print(f"Aggregate init: {dataset[1].shape[0]} expert transitions "
+          f"from {len(demos)} demos")
+
+    policy = MansyActorCritic(hidden_dim=args.hidden_dim,
+                              action_space=config.action_space)
+    params = policy.init(key, dummy_obs(config))["params"]
+    if args.init_path:
+        params = restore_checkpoint(args.init_path, params)
+        print("Initialized policy from", args.init_path)
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+    optimizer = ppo_mod.make_optimizer(args.lr)
+    opt_state = optimizer.init(params)
+
+    n_steps = runner.episode_step_bound(tables)
+    collect = dagger.make_dagger_collector(apply_fn, tables, etables,
+                                           args.horizon, args.lanes, n_steps)
+    eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
+                                  deterministic=True)
+
+    def valid_return(p, k):
+        logs, masks = runner.evaluate(apply_fn, p, vtables, vsamples,
+                                      observe_mansy, k, eval_fn=eval_fn)
+        rets = np.concatenate([np.asarray(l.ret)[m]
+                               for l, m in zip(logs, masks)])
+        return float(rets.mean())
+
+    out_path = args.output_path or os.path.join(models_dir,
+                                                "dagger_policy.ckpt")
+    key, k0 = jax.random.split(key)
+    # round 0: fit the initial aggregate
+    params, opt_state, losses = dagger.bc_on_aggregate(
+        apply_fn, optimizer, params, opt_state, dataset,
+        args.bc_steps, args.batch_size, k0)
+    best = valid_return(params, jax.random.PRNGKey(args.seed))
+    save_checkpoint(out_path, params)
+    print(f"Round 0 (BC fit): ce {losses[0]:.4f} -> {losses[-1]:.4f} | "
+          f"valid return {best:.3f} | saved {out_path}")
+
+    for r in range(1, args.rounds + 1):
+        t0 = time.time()
+        key, k_s, k_c, k_b = jax.random.split(key, 4)
+        samples = jnp.asarray(generate_demo_samples(
+            len(videos), len(users), len(traces), len(qoe_weights),
+            args.lanes, args.seed + r))
+        obs, expert_act, done = collect(params, samples, k_c)
+        dataset = dagger.aggregate(dataset, jax.device_get(obs),
+                                   np.asarray(expert_act), np.asarray(done))
+        params, opt_state, losses = dagger.bc_on_aggregate(
+            apply_fn, optimizer, params, opt_state, dataset,
+            args.bc_steps, args.batch_size, k_b)
+        ret = valid_return(params, jax.random.PRNGKey(args.seed + r))
+        marker = ""
+        if ret > best:
+            best = ret
+            save_checkpoint(out_path, params)
+            marker = " *best*"
+        print(f"Round {r}/{args.rounds}: +{args.lanes} episodes -> "
+              f"{dataset[1].shape[0]} transitions | ce {losses[-1]:.4f} | "
+              f"valid return {ret:.3f} (best {best:.3f}){marker} "
+              f"[{time.time() - t0:.1f}s]")
+    print("Best valid return:", best, "| policy at", out_path)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--rounds", type=int, default=8)
+    parser.add_argument("--lanes", type=int, default=32,
+                        help="policy episodes labeled by the expert per round")
+    parser.add_argument("--bc-steps", type=int, default=300,
+                        help="CE minibatch steps per round")
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--horizon", type=int, default=4)
+    parser.add_argument("--hidden-dim", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=5)
+    parser.add_argument("--train-dataset", type=str, default="Jin2022")
+    parser.add_argument("--network-dataset", type=str, default="4G")
+    parser.add_argument("--qoe-train-ids", type=int, nargs="*")
+    parser.add_argument("--demos-path", type=str, default=None)
+    parser.add_argument("--init-path", type=str, default=None,
+                        help="warm-start policy checkpoint (e.g. BC best)")
+    parser.add_argument("--output-path", type=str, default=None)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--config-yml", type=str, default=None)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    config = load_config(args.config_yml)
+    if args.qoe_train_ids is None:
+        args.qoe_train_ids = list(range(len(config.qoe_split["train"])))
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
+    print(args)
+    run(args, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""DAgger: dataset aggregation with the vmapped MPC expert.
+
+Extension beyond the reference (which only does one-shot BC from expert
+demos, ``utils/mansy_utils.py:52-94``): roll out the *current policy* and
+have the MPC expert (``sim/expert.py``) label every visited state, so the
+cloned policy learns recoveries on its own state distribution — the
+classic fix for BC covariate shift (Ross et al., AISTATS 2011).
+
+The expensive part — the 15^horizon expert search per visited state — runs
+inside the same jitted scan as the policy rollout, vmapped over lanes, so a
+full DAgger round costs about as much as one expert-demo lane chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mansy_immersivevideostreaming_tpu.rl import runner
+from mansy_immersivevideostreaming_tpu.sim.env import (
+    observe_mansy, reset_env, step_env,
+)
+from mansy_immersivevideostreaming_tpu.sim.expert import (
+    ExpertTables, action_sequences, choose_action,
+)
+from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
+
+
+def make_dagger_collector(apply_fn: Callable, tables: SimTables,
+                          etables: ExpertTables, horizon: int,
+                          n_lanes: int, n_steps: int):
+    """Jitted: policy-driven rollout where each visited state is ALSO labeled
+    by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
+    [T, N], done [T, N])."""
+    seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
+
+    @jax.jit
+    def collect(params: Any, samples: jnp.ndarray, key: jax.Array):
+        n = samples.shape[0]
+        states = jax.vmap(lambda i: reset_env(tables, samples, i, n))(
+            jnp.arange(n))
+
+        def body(carry, _):
+            states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+            expert_act = jax.vmap(
+                lambda s: choose_action(tables, etables, s, seqs))(states)
+            logits, _ = apply_fn(params, obs)
+            action = jax.random.categorical(k_act, logits)
+            new_states, _, done, _ = jax.vmap(
+                lambda s, a: step_env(tables, samples, s, a, n_lanes, False)
+            )(states, action)
+            return (new_states, key), (obs, expert_act, done)
+
+        (_, _), (obs, expert_act, done) = jax.lax.scan(
+            body, (states, key), None, length=n_steps)
+        return obs, expert_act, done
+
+    return collect
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def _bc_batch_step(apply_fn, optimizer, params, opt_state, obs, actions):
+    def loss_fn(p):
+        logits, _ = apply_fn(p, obs)
+        logp = jax.nn.log_softmax(logits)
+        ce = -jnp.mean(jnp.take_along_axis(logp, actions[:, None], axis=-1))
+        probs = jnp.exp(logp)
+        entropy = -jnp.sum(probs * logp, axis=-1).mean()
+        return ce - 0.1 * entropy
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    import optax
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def flatten_demos(demos) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """List of {'obs': {f: [T, ...]}, 'act': [T]} -> flat arrays."""
+    obs = {k: np.concatenate([np.asarray(d["obs"][k]) for d in demos])
+           for k in demos[0]["obs"]}
+    act = np.concatenate([np.asarray(d["act"]) for d in demos]).astype(np.int32)
+    return obs, act
+
+
+def aggregate(dataset, new_obs, new_act, done=None):
+    """Append expert-labeled policy states to the aggregate dataset.
+
+    ``new_obs`` leaves are [T, N, ...]; ``new_act``/``done`` [T, N].  Only
+    steps up to and including each lane's FIRST episode end are kept (the
+    tail after auto-reset would duplicate episode starts)."""
+    obs, act = dataset
+    T, N = new_act.shape
+    if done is not None:
+        first = runner.first_done_mask(np.asarray(done))
+        keep = ~(np.cumsum(np.asarray(first), axis=0).astype(bool)) | first
+    else:
+        keep = np.ones((T, N), bool)
+    keep = keep.reshape(-1)
+    flat_obs = {k: np.asarray(v).reshape((T * N,) + v.shape[2:])[keep]
+                for k, v in new_obs.items()}
+    flat_act = np.asarray(new_act).reshape(-1)[keep].astype(np.int32)
+    return ({k: np.concatenate([obs[k], flat_obs[k]]) for k in obs},
+            np.concatenate([act, flat_act]))
+
+
+def bc_on_aggregate(apply_fn, optimizer, params, opt_state, dataset,
+                    steps: int, batch_size: int, key: jax.Array):
+    """``steps`` minibatch CE steps over the aggregate (uniform sampling)."""
+    obs, act = dataset
+    n = act.shape[0]
+    obs_d = {k: jnp.asarray(v) for k, v in obs.items()}
+    act_d = jnp.asarray(act)
+    losses = []
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        idx = jax.random.randint(k, (min(batch_size, n),), 0, n)
+        params, opt_state, loss = _bc_batch_step(
+            apply_fn, optimizer, params, opt_state,
+            {k_: v[idx] for k_, v in obs_d.items()}, act_d[idx])
+        losses.append(float(loss))
+    return params, opt_state, losses

@@ -1,0 +1,68 @@
+"""DAgger unit + smoke tests (synthetic tables, horizon 1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mansy_immersivevideostreaming_tpu.models.abr_nets import MansyActorCritic
+from mansy_immersivevideostreaming_tpu.rl import dagger
+from mansy_immersivevideostreaming_tpu.rl import ppo as ppo_mod
+from mansy_immersivevideostreaming_tpu.sim.env import generate_environment_samples
+from mansy_immersivevideostreaming_tpu.sim.expert import build_expert_tables
+from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+
+
+def test_flatten_and_aggregate_first_episode_only():
+    demos = [{"obs": {"x": np.ones((3, 2))}, "act": np.array([1, 2, 3])},
+             {"obs": {"x": np.zeros((2, 2))}, "act": np.array([4, 5])}]
+    obs, act = dagger.flatten_demos(demos)
+    assert obs["x"].shape == (5, 2) and act.tolist() == [1, 2, 3, 4, 5]
+
+    # new rollout: T=4, N=2; lane 0 ends at t=1, lane 1 at t=3 -> keep
+    # 2 + 4 = 6 of the 8 transitions (post-reset tail dropped)
+    new_obs = {"x": np.arange(8, dtype=np.float32).reshape(4, 2, 1)}
+    new_act = np.arange(8).reshape(4, 2)
+    done = np.array([[0, 0], [1, 0], [0, 0], [0, 1]], bool)
+    obs2, act2 = dagger.aggregate(({"x": obs["x"][:, :1]}, act),
+                                  new_obs, new_act, done)
+    assert act2.shape[0] == 5 + 6
+    # lane 0 keeps t=0,1; lane 1 keeps t=0..3
+    assert sorted(act2[5:].tolist()) == [0, 1, 2, 3, 5, 7]
+
+
+def test_dagger_round_improves_ce_on_synthetic():
+    tables = synthetic_sim_tables(num_videos=2, num_users=2, num_traces=2,
+                                  num_chunks=12, num_qoe=2)
+    etables = build_expert_tables(tables)
+    policy = MansyActorCritic(hidden_dim=16)
+    samples = jnp.asarray(generate_environment_samples(2, 2, 2, 2))
+    n_lanes = 4
+    collect = dagger.make_dagger_collector(
+        lambda p, o: policy.apply({"params": p}, o), tables, etables,
+        horizon=1, n_lanes=n_lanes, n_steps=6)
+
+    from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy, reset_env
+    states = jax.vmap(lambda i: reset_env(tables, samples, i, n_lanes))(
+        jnp.arange(n_lanes))
+    obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+    params = policy.init(jax.random.PRNGKey(0), obs0)["params"]
+
+    obs, expert_act, done = collect(params, samples[:n_lanes],
+                                    jax.random.PRNGKey(1))
+    assert expert_act.shape == (6, n_lanes)
+    assert int(expert_act.max()) < 15
+
+    dataset = dagger.aggregate(
+        ({k: np.zeros((0,) + v.shape[2:], np.float32) for k, v in obs.items()},
+         np.zeros(0, np.int32)),
+        jax.device_get(obs), np.asarray(expert_act), np.asarray(done))
+    assert dataset[1].shape[0] > 0
+
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+    opt = ppo_mod.make_optimizer(1e-3)
+    params2, _, losses = dagger.bc_on_aggregate(
+        apply_fn, opt, params, opt.init(params), dataset, steps=20,
+        batch_size=64, key=jax.random.PRNGKey(2))
+    assert losses[-1] < losses[0]
