@@ -86,8 +86,12 @@ def run_dryrun(n_devices: int) -> None:
           flush=True)
 
     # ---- 2. PPO rollout + update with env lanes sharded over the mesh ----
-    tables = put(synthetic_sim_tables(), repl)
-    samples = put(np.asarray(generate_environment_samples(2, 2, 2, 2)), repl)
+    # build tables/samples/lane states locally first (identical on every
+    # process — deterministic), then stage them globally
+    local_tables = synthetic_sim_tables()
+    local_samples = jnp.asarray(generate_environment_samples(2, 2, 2, 2))
+    tables = put(local_tables, repl)
+    samples = put(local_samples, repl)
     policy = MansyActorCritic(hidden_dim=32)
     obs0 = {
         "throughput": jnp.zeros((2, 8)), "next_chunk_size": jnp.zeros((2, 5, 64)),
@@ -106,8 +110,7 @@ def run_dryrun(n_devices: int) -> None:
     n_lanes = 2 * n_devices
     collect = make_collector(apply_fn, observe_mansy, tables, samples,
                              n_lanes, n_steps=4, train=True)
-    states = put(init_lanes(jax.device_get(tables), jax.device_get(samples),
-                            n_lanes), dp)
+    states = put(init_lanes(local_tables, local_samples, n_lanes), dp)
     final_states, traj, logs, last_values = collect(
         params, states, put(jax.random.PRNGKey(3), repl))
     opt = ppo_mod.make_optimizer(5e-4)
