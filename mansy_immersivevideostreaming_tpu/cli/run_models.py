@@ -169,10 +169,11 @@ def test(args, config, model, optimizer, state, models_dir, results_dir, file_pr
 
 
 def build_model(args):
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     return ViewportTransformerMTIO(
         in_channel=2, fut_window=args.fut_window, d_model=args.hidden_dim,
         dim_feedforward=args.hidden_dim, num_encoder_layers=args.block_num,
-        num_decoder_layers=args.block_num)
+        num_decoder_layers=args.block_num, dtype=dtype)
 
 
 def run(args, config):
@@ -240,6 +241,9 @@ def build_parser():
     parser.add_argument("--weight-decay", type=float)
     parser.add_argument("--bs", type=int, default=512)
     parser.add_argument("--seed", type=int, default=5)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 compute dtype (params stay f32); TPU MXU "
+                             "runs bf16 natively (extension)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all devices (SPMD DP)")
     parser.add_argument("--config-yml", type=str, default=None)

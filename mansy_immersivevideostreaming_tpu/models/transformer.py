@@ -41,12 +41,13 @@ class MHA(nn.Module):
     num_heads: int
     dropout: float = 0.1
     use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.query = nn.Dense(self.d_model)
-        self.key = nn.Dense(self.d_model)
-        self.value = nn.Dense(self.d_model)
-        self.out = nn.Dense(self.d_model)
+        self.query = nn.Dense(self.d_model, dtype=self.dtype)
+        self.key = nn.Dense(self.d_model, dtype=self.dtype)
+        self.value = nn.Dense(self.d_model, dtype=self.dtype)
+        self.out = nn.Dense(self.d_model, dtype=self.dtype)
         self.attn_drop = nn.Dropout(self.dropout)
 
     def _split(self, y):
@@ -91,13 +92,14 @@ class FeedForward(nn.Module):
     d_model: int
     dim_feedforward: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        h = nn.Dense(self.dim_feedforward)(x)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         return h
 
 
@@ -107,15 +109,16 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        attn = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)(
-            x, x, None, deterministic)
+        attn = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
+                   self.dtype)(x, x, None, deterministic)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(epsilon=1e-5)(x + attn)
-        ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)(
-            x, deterministic)
+        x = nn.LayerNorm(epsilon=1e-5)(x + attn)  # norms stay f32
+        ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                         self.dtype)(x, deterministic)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         return nn.LayerNorm(epsilon=1e-5)(x + ff)
 
@@ -126,11 +129,15 @@ class DecoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.sa = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)
-        self.ca = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas)
-        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout)
+        self.sa = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
+                      self.dtype)
+        self.ca = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
+                      self.dtype)
+        self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
+                              self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.norm3 = nn.LayerNorm(epsilon=1e-5)
@@ -175,12 +182,14 @@ class DistillLayer(nn.Module):
     """Circular Conv1d(k3) + BatchNorm + ELU + MaxPool1d(k3, s2, p1) over the
     time axis; reference ``customized_transformer.py:13-36``."""
     d_model: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         # x: [B, L, D].  Circular pad along time, conv over time with D->D.
         h = jnp.concatenate([x[:, -1:, :], x, x[:, :1, :]], axis=1)
-        h = nn.Conv(features=self.d_model, kernel_size=(3,), padding="VALID")(h)
+        h = nn.Conv(features=self.d_model, kernel_size=(3,), padding="VALID",
+                    dtype=self.dtype)(h)
         h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, axis=-1)(h)
         h = nn.elu(h)
@@ -210,17 +219,18 @@ class Transformer(nn.Module):
     dim_feedforward: int = 512
     dropout: float = 0.1
     use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder_layers = [
             EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                         self.dropout, self.use_pallas)
+                         self.dropout, self.use_pallas, self.dtype)
             for _ in range(self.num_encoder_layers)]
         self.encoder_norm = nn.LayerNorm(epsilon=1e-5)
-        self.distill = DistillLayer(self.d_model)
+        self.distill = DistillLayer(self.d_model, self.dtype)
         self.decoder_layers = [
             DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                         self.dropout, self.use_pallas)
+                         self.dropout, self.use_pallas, self.dtype)
             for _ in range(self.num_decoder_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
 
@@ -243,7 +253,7 @@ class Transformer(nn.Module):
         B = memory.shape[0]
         dh = self.d_model // self.nhead
         mem_kvs = [layer.ca.project_kv(memory) for layer in self.decoder_layers]
-        zeros = jnp.zeros((B, max_len, self.nhead, dh), memory.dtype)
+        zeros = jnp.zeros((B, max_len, self.nhead, dh), self.dtype)
         sa_caches = [(zeros, zeros)] * len(self.decoder_layers)
         return mem_kvs, sa_caches
 
