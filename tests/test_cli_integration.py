@@ -50,7 +50,8 @@ def test_run_mansy_train_test_end_to_end(tree):
     from mansy_immersivevideostreaming_tpu.cli import run_mansy
 
     common = [
-        "--use-identifier", "--train-identifier", "--epochs", "2",
+        "--use-identifier", "--train-identifier", "--id-reward-center",
+        "--lamb-warmup", "1", "--epochs", "2",
         "--step-per-epoch", "64", "--step-per-collect", "64",
         "--train-lanes", "8", "--batch-size", "64", "--hidden-dim", "16",
         "--save-interval", "1"]
