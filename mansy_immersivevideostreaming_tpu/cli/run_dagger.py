@@ -112,7 +112,7 @@ def run(args, config):
     # round 0: fit the initial aggregate
     params, opt_state, losses = dagger.bc_on_aggregate(
         apply_fn, optimizer, params, opt_state, dataset,
-        args.bc_steps, args.batch_size, k0)
+        args.bc_steps, args.batch_size, k0, args.ent_coef)
     best = valid_return(params, jax.random.PRNGKey(args.seed))
     save_checkpoint(out_path, params)
     print(f"Round 0 (BC fit): ce {losses[0]:.4f} -> {losses[-1]:.4f} | "
@@ -129,7 +129,7 @@ def run(args, config):
                                    np.asarray(expert_act), np.asarray(done))
         params, opt_state, losses = dagger.bc_on_aggregate(
             apply_fn, optimizer, params, opt_state, dataset,
-            args.bc_steps, args.batch_size, k_b)
+            args.bc_steps, args.batch_size, k_b, args.ent_coef)
         ret = valid_return(params, jax.random.PRNGKey(args.seed + r))
         marker = ""
         if ret > best:
@@ -152,6 +152,9 @@ def build_parser():
                         help="CE minibatch steps per round")
     parser.add_argument("--batch-size", type=int, default=4096)
     parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--ent-coef", type=float, default=0.1,
+                        help="BC entropy bonus (reference uses 0.1; 0 = "
+                             "sharpest conditional fit)")
     parser.add_argument("--horizon", type=int, default=4)
     parser.add_argument("--hidden-dim", type=int, default=128)
     parser.add_argument("--seed", type=int, default=5)

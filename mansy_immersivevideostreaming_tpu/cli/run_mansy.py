@@ -177,6 +177,14 @@ def train(args, config, models_dir):
         if os.path.exists(id_checkpoint_path):
             id_params = restore_checkpoint(id_checkpoint_path, id_params)
             print("Successfully loaded identifier from:", id_checkpoint_path)
+    elif args.init_path:
+        # arbitrary warm-start (e.g. a DAgger policy); with --bc-kl it also
+        # becomes the conditioning-preserving KL anchor (extension)
+        params = restore_checkpoint(args.init_path, params)
+        print("Successfully init agent from:", args.init_path)
+        if args.bc_kl > 0:
+            anchor_params = jax.tree_util.tree_map(jnp.copy, params)
+            print(f"KL anchor enabled (coef {args.bc_kl})")
     elif args.init_from_bc:
         if os.path.exists(policy_bc_path):
             params = restore_checkpoint(policy_bc_path, params)
@@ -423,6 +431,9 @@ def build_parser():
     parser.add_argument("--bc-valid-per-step", type=int, default=50)
     parser.add_argument("--bc-identifier-max-steps", type=int, default=150)
     parser.add_argument("--init-from-bc", action="store_true")
+    parser.add_argument("--init-path", type=str, default=None,
+                        help="warm-start policy checkpoint (e.g. DAgger); "
+                             "with --bc-kl also the KL anchor (extension)")
     parser.add_argument("--bc-kl", type=float, default=0.0,
                         help="(extension) KL penalty toward the frozen BC "
                              "policy during PPO fine-tuning (requires "

@@ -65,14 +65,17 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
-def _bc_batch_step(apply_fn, optimizer, params, opt_state, obs, actions):
+def _bc_batch_step(apply_fn, optimizer, params, opt_state, obs, actions,
+                   ent_coef):
     def loss_fn(p):
         logits, _ = apply_fn(p, obs)
         logp = jax.nn.log_softmax(logits)
         ce = -jnp.mean(jnp.take_along_axis(logp, actions[:, None], axis=-1))
         probs = jnp.exp(logp)
         entropy = -jnp.sum(probs * logp, axis=-1).mean()
-        return ce - 0.1 * entropy
+        # ent_coef 0.1 matches the reference BC bonus (mansy_utils.py:67-72);
+        # 0 gives the sharpest conditional fit
+        return ce - ent_coef * entropy
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -111,18 +114,20 @@ def aggregate(dataset, new_obs, new_act, done=None):
 
 
 def bc_on_aggregate(apply_fn, optimizer, params, opt_state, dataset,
-                    steps: int, batch_size: int, key: jax.Array):
+                    steps: int, batch_size: int, key: jax.Array,
+                    ent_coef: float = 0.1):
     """``steps`` minibatch CE steps over the aggregate (uniform sampling)."""
     obs, act = dataset
     n = act.shape[0]
     obs_d = {k: jnp.asarray(v) for k, v in obs.items()}
     act_d = jnp.asarray(act)
+    ent = jnp.float32(ent_coef)
     losses = []
     for i in range(steps):
         key, k = jax.random.split(key)
         idx = jax.random.randint(k, (min(batch_size, n),), 0, n)
         params, opt_state, loss = _bc_batch_step(
             apply_fn, optimizer, params, opt_state,
-            {k_: v[idx] for k_, v in obs_d.items()}, act_d[idx])
+            {k_: v[idx] for k_, v in obs_d.items()}, act_d[idx], ent)
         losses.append(float(loss))
     return params, opt_state, losses
