@@ -19,6 +19,7 @@ from typing import Any, Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from mansy_immersivevideostreaming_tpu.rl import runner
 from mansy_immersivevideostreaming_tpu.sim.env import (
@@ -79,7 +80,6 @@ def _bc_batch_step(apply_fn, optimizer, params, opt_state, obs, actions,
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
-    import optax
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
 
