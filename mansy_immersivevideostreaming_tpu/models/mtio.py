@@ -54,7 +54,6 @@ class ViewportTransformerMTIO(nn.Module):
     num_decoder_layers: int = 2
     dropout: float = 0.2
     repeat_prob: float = 0.5
-    use_pallas: bool = False
     incremental: bool = True  # KV-cached decode (see _decode_incremental)
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 opt-in; params f32)
 
@@ -63,8 +62,7 @@ class ViewportTransformerMTIO(nn.Module):
         self.transformer = Transformer(
             d_model=self.d_model, num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
-            dim_feedforward=self.dim_feedforward, use_pallas=self.use_pallas,
-            dtype=self.dtype)
+            dim_feedforward=self.dim_feedforward, dtype=self.dtype)
         self.predictor = nn.Dense(self.in_channel * self.num_head)  # head f32
         self.pe = sinusoidal_pe(5000, self.d_model)
         self.pe_dropout = nn.Dropout(self.dropout)

@@ -23,13 +23,14 @@ import jax.numpy as jnp
 
 
 class MHA(nn.Module):
-    """Multi-head attention with a fused Pallas core and a KV-cache path.
+    """Multi-head attention (fused by XLA) with a KV-cache path.
 
-    Training mode uses the einsum path (attention-prob dropout matches torch
-    ``nn.MultiheadAttention`` semantics); deterministic mode routes the
-    QK^T -> softmax -> PV core through :func:`ops.pallas_kernels.mha_pallas`
-    when ``use_pallas`` — one VMEM pass per (batch, head), no [L, L]
-    intermediates in HBM.
+    Attention-prob dropout matches torch ``nn.MultiheadAttention``
+    semantics.  A hand-written Pallas core was benchmarked on the real
+    chip and REMOVED: at this workload's shapes (L <= 21, Lq = 1 in the
+    KV-cached decode) XLA's fused attention wins — 0.78x for the fused
+    L16 core, 0.04x end-to-end in the incremental decode (BASELINE.md,
+    round 2) — so the plain einsum path IS the fast path.
 
     For incremental autoregressive decoding, :meth:`project_kv` exposes the
     key/value projections so callers can cache them across steps and
@@ -40,7 +41,6 @@ class MHA(nn.Module):
     d_model: int
     num_heads: int
     dropout: float = 0.1
-    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -64,23 +64,14 @@ class MHA(nn.Module):
         B, Lq, _ = q_in.shape
         Lk = k.shape[1]
         q = self._split(self.query(q_in))
-
-        if self.use_pallas and deterministic:
-            from mansy_immersivevideostreaming_tpu.ops.pallas_kernels import (
-                mha_pallas)
-            m = None if mask is None else jnp.broadcast_to(
-                mask, (B, self.num_heads, Lq, Lk))
-            o = mha_pallas(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                           v.transpose(0, 2, 1, 3), m)
-            o = o.transpose(0, 2, 1, 3)
-        else:
-            s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(dh, q.dtype))
-            if mask is not None:
-                s = jnp.where(mask, s, -1e30)
-            p = jax.nn.softmax(s, axis=-1)
-            p = self.attn_drop(p, deterministic=deterministic)
-            o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        # scores + softmax in f32 regardless of compute dtype
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / (dh ** 0.5)
+        if mask is not None:
+            s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        p = self.attn_drop(p, deterministic=deterministic)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
         return self.out(o.reshape(B, Lq, self.d_model))
 
     def __call__(self, q_in, kv_in, mask, deterministic: bool):
@@ -108,12 +99,11 @@ class EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
-    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        attn = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
+        attn = MHA(self.d_model, self.nhead, self.dropout,
                    self.dtype)(x, x, None, deterministic)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)  # norms stay f32
@@ -128,14 +118,11 @@ class DecoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
-    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.sa = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
-                      self.dtype)
-        self.ca = MHA(self.d_model, self.nhead, self.dropout, self.use_pallas,
-                      self.dtype)
+        self.sa = MHA(self.d_model, self.nhead, self.dropout, self.dtype)
+        self.ca = MHA(self.d_model, self.nhead, self.dropout, self.dtype)
         self.ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                               self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
@@ -218,19 +205,18 @@ class Transformer(nn.Module):
     num_decoder_layers: int = 2
     dim_feedforward: int = 512
     dropout: float = 0.1
-    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder_layers = [
             EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                         self.dropout, self.use_pallas, self.dtype)
+                         self.dropout, self.dtype)
             for _ in range(self.num_encoder_layers)]
         self.encoder_norm = nn.LayerNorm(epsilon=1e-5)
         self.distill = DistillLayer(self.d_model, self.dtype)
         self.decoder_layers = [
             DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
-                         self.dropout, self.use_pallas, self.dtype)
+                         self.dropout, self.dtype)
             for _ in range(self.num_decoder_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
 
