@@ -57,6 +57,13 @@ def chunk_maps(gt: jnp.ndarray, pred: jnp.ndarray, frequency: int):
 
 
 def run(args, config):
+    # None -> config backfill (reference predict.py:148-153); kept in run()
+    # so programmatic callers get the same semantics as main()
+    args.trim_head = config.trim_head if args.trim_head is None else args.trim_head
+    args.trim_tail = config.trim_tail if args.trim_tail is None else args.trim_tail
+    args.dataset_frequency = (config.frequency if args.dataset_frequency is None
+                              else args.dataset_frequency)
+    args.sample_step = config.sample_step if args.sample_step is None else args.sample_step
     key = seed_everything(args.seed)
     results_dir = os.path.join(config.viewport_dir(args.dataset), "prediction")
     if args.output_dir:

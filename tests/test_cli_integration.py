@@ -89,3 +89,52 @@ def test_run_expert_test_end_to_end(tree):
     assert results
     rows = open(results[0]).read().strip().splitlines()
     assert len(rows) == 1 + 4
+
+
+def test_run_simple_rl_train_test_end_to_end(tree):
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_simple_rl
+
+    common = [
+        "--qoe-train-id", "0", "--epochs", "2", "--step-per-epoch", "64",
+        "--step-per-collect", "64", "--train-lanes", "8",
+        "--batch-size", "64"]
+    args = run_simple_rl.build_parser().parse_args(["--train"] + common)
+    run_simple_rl.run(args, cfg)
+    args = run_simple_rl.build_parser().parse_args(
+        ["--test", "--test-on-seen"] + common)
+    run_simple_rl.run(args, cfg)
+    results = glob.glob(os.path.join(
+        base, "results", "bitrate_selection", "simple_rl", "**",
+        "results.csv"), recursive=True)
+    assert results
+    rows = open(results[0]).read().strip().splitlines()
+    assert len(rows) == 1 + 4
+
+
+def test_predict_export_end_to_end(tree):
+    """predict CLI writes reference-schema pkls readable by the sim loader;
+    reuses the best model trained by the run_models test (file ordering)."""
+    import pickle
+
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import predict as predict_cli
+
+    ckpts = glob.glob(os.path.join(
+        base, "models", "viewport_prediction", "**", "*_best_model.ckpt"),
+        recursive=True)
+    if not ckpts:
+        pytest.skip("needs the run_models integration test's checkpoint")
+    out_dir = os.path.join(base, "pred_out")
+    args = predict_cli.build_parser().parse_args([
+        "--model", "mtio", "--model-path", ckpts[0], "--hidden-dim", "16",
+        "--block-num", "1", "--his-window", "3", "--fut-window", "5",
+        "--trim-head", "5", "--trim-tail", "5", "--sample-step", "2",
+        "--bs", "64", "--output-dir", out_dir])
+    predict_cli.run(args, cfg)
+    pkls = glob.glob(os.path.join(out_dir, "video*", "user*.pkl"))
+    assert pkls
+    entries = pickle.load(open(pkls[0], "rb"))
+    chunk, gt, pred, acc = entries[0]
+    assert gt.shape == (64,) and pred.shape == (64,)
+    assert 0.0 <= acc <= 1.0
