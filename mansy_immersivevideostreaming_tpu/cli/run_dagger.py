@@ -60,6 +60,8 @@ def dummy_obs(config):
 def run(args, config):
     import jax.numpy as jnp
 
+    if args.qoe_train_ids is None:
+        args.qoe_train_ids = list(range(len(config.qoe_split["train"])))
     key = seed_everything(args.seed)
     qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
     models_dir = os.path.join(

@@ -138,3 +138,27 @@ def test_predict_export_end_to_end(tree):
     chunk, gt, pred, acc = entries[0]
     assert gt.shape == (64,) and pred.shape == (64,)
     assert 0.0 <= acc <= 1.0
+
+
+def test_run_expert_demos_and_dagger_end_to_end(tree):
+    """run_expert --train writes demos the DAgger CLI can aggregate and
+    improve on (1 round, tiny shapes)."""
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_dagger, run_expert
+
+    args = run_expert.build_parser().parse_args([
+        "--train", "--horizon", "1", "--lane-chunk", "8"])
+    run_expert.run(args, cfg)
+    demos = glob.glob(os.path.join(
+        base, "models", "bitrate_selection", "expert", "**",
+        "train_demonstrations.pkl"), recursive=True)
+    assert demos
+
+    args = run_dagger.build_parser().parse_args([
+        "--rounds", "1", "--lanes", "4", "--bc-steps", "10",
+        "--batch-size", "64", "--horizon", "1", "--hidden-dim", "16"])
+    run_dagger.run(args, cfg)
+    out = glob.glob(os.path.join(
+        base, "models", "bitrate_selection", "expert", "**",
+        "dagger_policy.ckpt"), recursive=True)
+    assert out
