@@ -51,7 +51,7 @@ def flops_of(jitted, *args):
         return None
 
 
-def bench_abr(n_lanes=8192, n_steps=128, iters=4):
+def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None):
     import jax
     import jax.numpy as jnp
 
@@ -98,11 +98,13 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4):
     states, traj, logs, lv = collect(params, state0, key)
     jax.block_until_ready(traj.reward)
     log(f"[bench] abr compile+first run: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for i in range(iters):
-        states, traj, logs, lv = collect(params, states, jax.random.fold_in(key, i))
-    jax.block_until_ready(traj.reward)
-    dt = time.time() - t0
+    with _maybe_profile(profile_dir, "abr"):
+        t0 = time.time()
+        for i in range(iters):
+            states, traj, logs, lv = collect(params, states,
+                                             jax.random.fold_in(key, i))
+        jax.block_until_ready(traj.reward)
+        dt = time.time() - t0
     rate = iters * n_lanes * n_steps / dt
     log(f"[bench] abr rollout: {n_lanes} lanes x {n_steps} steps x {iters} iters "
         f"in {dt:.2f}s -> {rate:,.0f} env-steps/s")
@@ -115,14 +117,17 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4):
     return rate, mfu
 
 
-def bench_mtio(bs=512, iters=6):
+def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
+               profile_dir=None):
     import jax
     import jax.numpy as jnp
 
     from mansy_immersivevideostreaming_tpu.models.mtio import ViewportTransformerMTIO
     from mansy_immersivevideostreaming_tpu.models import vp_train
 
-    model = ViewportTransformerMTIO(d_model=512, dim_feedforward=512, fut_window=15)
+    model = ViewportTransformerMTIO(d_model=d_model,
+                                    dim_feedforward=dim_feedforward,
+                                    fut_window=15)
     optimizer = vp_train.make_optimizer(1e-4)
     state = vp_train.create_train_state(model, jax.random.PRNGKey(0), 5, optimizer)
     key = jax.random.PRNGKey(1)
@@ -134,12 +139,15 @@ def bench_mtio(bs=512, iters=6):
     t0 = time.time()
     state, loss = vp_train.train_step(model, optimizer, state, batch, key)
     jax.block_until_ready(loss)
-    log(f"[bench] mtio compile+first step: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(iters):
-        state, loss = vp_train.train_step(model, optimizer, state, batch, key)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
+    log(f"[bench] mtio compile+first step: {time.time() - t0:.1f}s "
+        f"(bs {bs}, d_model {d_model})")
+    ctx = _maybe_profile(profile_dir, "mtio")
+    with ctx:
+        t0 = time.time()
+        for _ in range(iters):
+            state, loss = vp_train.train_step(model, optimizer, state, batch, key)
+        jax.block_until_ready(loss)
+        dt = time.time() - t0
     rate = iters * bs / dt
     log(f"[bench] mtio train: {iters} steps x bs {bs} in {dt:.2f}s "
         f"-> {rate:,.0f} samples/s (torch-CPU baseline {BASELINE_MTIO_SAMPLES}) "
@@ -155,7 +163,49 @@ def bench_mtio(bs=512, iters=6):
     return rate, mfu
 
 
-def main():
+def _maybe_profile(profile_dir, tag):
+    """Profile context for the steady-state loop (SURVEY §5: jax.profiler is
+    this framework's replacement for the reference's wall-clock prints)."""
+    import contextlib
+    if not profile_dir:
+        return contextlib.nullcontext()
+    from mansy_immersivevideostreaming_tpu.utils.profiling import profile_to
+    target = os.path.join(profile_dir, tag)
+    os.makedirs(target, exist_ok=True)
+    log(f"[bench] capturing jax.profiler trace -> {target}")
+    return profile_to(target)
+
+
+def mtio_sweep(profile_dir=None):
+    """Batch-size / d_model sweep for the MFU analysis (VERDICT r2 item 4).
+    Prints one stderr table row per config; returns rows."""
+    rows = []
+    for bs, d_model in [(512, 512), (1024, 512), (2048, 512), (4096, 512),
+                        (8192, 512), (512, 1024), (2048, 1024)]:
+        rate, mfu = bench_mtio(bs=bs, iters=6, d_model=d_model,
+                               dim_feedforward=d_model)
+        rows.append({"bs": bs, "d_model": d_model,
+                     "samples_per_sec": round(rate, 1),
+                     "mfu": round(mfu, 5) if mfu else None})
+        log(f"[sweep] bs={bs} d_model={d_model}: {rate:,.0f} samples/s, "
+            f"MFU {mfu * 100:.2f}%" if mfu else f"[sweep] bs={bs}: {rate:,.0f}")
+    log("[sweep] " + json.dumps(rows))
+    return rows
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture jax.profiler traces of the steady-state "
+                             "loops into DIR (view with TensorBoard)")
+    parser.add_argument("--mtio-sweep", action="store_true",
+                        help="run the MTIO batch-size/d_model MFU sweep "
+                             "instead of the standard bench")
+    parser.add_argument("--skip-abr", action="store_true",
+                        help="skip the ABR headline (for quick MTIO runs)")
+    args = parser.parse_args(argv)
+
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -165,12 +215,26 @@ def main():
     except Exception as e:
         log(f"[bench] compilation cache unavailable: {e!r}")
     log(f"[bench] devices: {jax.devices()}")
-    abr_rate, abr_mfu = bench_abr()
+    if args.mtio_sweep:
+        rows = mtio_sweep(args.profile)
+        print(json.dumps({"metric": "mtio_sweep", "value": rows[0]["samples_per_sec"],
+                          "unit": "samples/s", "sweep": rows}), flush=True)
+        return
+    abr_rate, abr_mfu = (None, None)
+    if not args.skip_abr:
+        abr_rate, abr_mfu = bench_abr(profile_dir=args.profile)
     try:
-        mtio_rate, mtio_mfu = bench_mtio()
+        mtio_rate, mtio_mfu = bench_mtio(profile_dir=args.profile)
     except Exception as e:  # secondary benchmark must not sink the headline
         log(f"[bench] mtio bench failed: {e!r}")
         mtio_rate = mtio_mfu = None
+    if args.skip_abr:
+        print(json.dumps({"metric": "mtio_samples_per_sec",
+                          "value": round(mtio_rate, 1), "unit": "samples/s",
+                          "vs_baseline": round(mtio_rate / BASELINE_MTIO_SAMPLES, 2),
+                          "mtio_mfu": round(mtio_mfu, 5) if mtio_mfu else None}),
+              flush=True)
+        return
     out = {
         "metric": "abr_env_steps_per_sec",
         "value": round(abr_rate, 1),

@@ -97,7 +97,7 @@ def run(args, config):
 
     n_steps = runner.episode_step_bound(tables)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
-                                           args.horizon, args.lanes, n_steps)
+                                           args.horizon, n_steps)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 

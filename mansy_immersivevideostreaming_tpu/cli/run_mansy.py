@@ -202,6 +202,9 @@ def train(args, config, models_dir):
         writer = SummaryWriter(os.path.join(models_dir, "mansy_tb_logger"))
 
     collects_per_epoch = max(args.step_per_epoch // (n_lanes * n_steps), 1)
+    # jitted anchor forward, built ONCE (a jax.jit(...) constructed inside the
+    # collect loop would re-trace the policy every iteration)
+    anchor_forward = jax.jit(policy_apply) if anchor_params is not None else None
     best_reward = float("-inf")
     env_step = 0
     for epoch in range(1, args.epochs + 1):
@@ -250,8 +253,8 @@ def train(args, config, models_dir):
                 rewards = shape_rewards(rewards, id_rew, lamb)
 
             anchor_logits = None
-            if anchor_params is not None:
-                a_logits, _ = jax.jit(policy_apply)(anchor_params, flat_obs)
+            if anchor_forward is not None:
+                a_logits, _ = anchor_forward(anchor_params, flat_obs)
                 anchor_logits = a_logits.reshape(traj.reward.shape + (-1,))
             params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
                 policy_apply, optimizer, cfg, params, opt_state, traj,

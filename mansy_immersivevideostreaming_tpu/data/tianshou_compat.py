@@ -70,13 +70,41 @@ class _StubObject:
             self.__dict__["_state"] = state
 
 
+# Non-tianshou globals a demo pickle legitimately needs: numpy array
+# reconstruction plus the builtin containers pickle emits for dict/tuple keys.
+# Anything else (os.system, subprocess, ...) is refused — these files come
+# from the upstream repo and are untrusted input.
+_SAFE_GLOBALS = {
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("collections", "OrderedDict"),
+    ("builtins", "dict"),
+    ("builtins", "list"),
+    ("builtins", "tuple"),
+    ("builtins", "set"),
+    ("builtins", "frozenset"),
+    ("builtins", "bytearray"),
+}
+
+
 class _TianshouUnpickler(pickle.Unpickler):
-    """Unpickler that replaces every ``tianshou.*`` class with a stub."""
+    """Unpickler that replaces every ``tianshou.*`` class with a stub and
+    allows only numpy/builtin-container globals otherwise (the pickles are
+    untrusted upstream content — an unrestricted ``find_class`` would execute
+    arbitrary globals such as ``os.system``)."""
 
     def find_class(self, module, name):
         if module.split(".")[0] == "tianshou":
             return _StubBatch if name == "Batch" else _StubObject
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name} from an untrusted "
+            "demonstrations file")
 
 
 def _as_plain(value):

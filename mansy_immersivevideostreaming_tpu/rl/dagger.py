@@ -33,10 +33,11 @@ from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
 def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                           etables: ExpertTables, horizon: int,
-                          n_lanes: int, n_steps: int):
+                          n_steps: int):
     """Jitted: policy-driven rollout where each visited state is ALSO labeled
     by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
-    [T, N], done [T, N])."""
+    [T, N], done [T, N]).  Lane count and the auto-reset stride are both
+    ``samples.shape[0]`` (one stride for reset_env AND step_env)."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
 
     @jax.jit
@@ -54,7 +55,7 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
             logits, _ = apply_fn(params, obs)
             action = jax.random.categorical(k_act, logits)
             new_states, _, done, _ = jax.vmap(
-                lambda s, a: step_env(tables, samples, s, a, n_lanes, False)
+                lambda s, a: step_env(tables, samples, s, a, n, False)
             )(states, action)
             return (new_states, key), (obs, expert_act, done)
 

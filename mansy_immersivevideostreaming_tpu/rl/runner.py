@@ -188,6 +188,6 @@ def read_log_file(log_path: str) -> Dict[str, float]:
     means = sums / n
     rows.append([-1, -1, -1, -1, -1, -1] + list(means))
     print(ascii_table(
-        ["video", "user", "trace", "qoe_w1", "qoe_w2", "qoe_3",
+        ["video", "user", "trace", "qoe_w1", "qoe_w2", "qoe_w3",
          "qoe", "qoe1", "qoe2", "qoe3"], rows))
     return {"qoe": means[0], "qoe1": means[1], "qoe2": means[2], "qoe3": means[3]}

@@ -28,11 +28,39 @@ def profile_to(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class _Timed:
+    """Handle yielded by :func:`timed`; register outputs with ``watch`` so the
+    timer blocks on the actual computation rather than an unrelated op."""
+
+    def __init__(self):
+        self._outputs = []
+        self.seconds = None
+
+    def watch(self, value):
+        self._outputs.append(value)
+        return value
+
+
 @contextlib.contextmanager
 def timed(label: str, sync: bool = True):
-    """Wall-clock timing with optional device sync."""
+    """Wall-clock timing that blocks on the watched work.
+
+    Usage::
+
+        with timed("step") as t:
+            out = t.watch(step(params, batch))
+
+    Blocks on every array registered via ``t.watch`` (the real work); if
+    nothing was watched it falls back to draining the device queue with a
+    barrier op so async dispatch cannot fake a fast time.
+    """
+    handle = _Timed()
     t0 = time.time()
-    yield
+    yield handle
     if sync:
-        (jax.device_put(0.0) + 0).block_until_ready()
-    print(f"[{label}] {time.time() - t0:.3f}s", flush=True)
+        if handle._outputs:
+            jax.block_until_ready(handle._outputs)
+        else:
+            (jax.device_put(0.0) + 0).block_until_ready()
+    handle.seconds = time.time() - t0
+    print(f"[{label}] {handle.seconds:.3f}s", flush=True)

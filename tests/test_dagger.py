@@ -41,7 +41,7 @@ def test_dagger_round_improves_ce_on_synthetic():
     n_lanes = 4
     collect = dagger.make_dagger_collector(
         lambda p, o: policy.apply({"params": p}, o), tables, etables,
-        horizon=1, n_lanes=n_lanes, n_steps=6)
+        horizon=1, n_steps=6)
 
     from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy, reset_env
     states = jax.vmap(lambda i: reset_env(tables, samples, i, n_lanes))(

@@ -130,6 +130,22 @@ def test_loads_reference_format_without_tianshou(reference_pickle):
         "past_quality_variances", "past_rebuffering"}
 
 
+def test_refuses_dangerous_globals(tmp_path):
+    """The demo files are untrusted upstream content: any global outside the
+    numpy/builtin-container allowlist must raise instead of executing."""
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    path = tmp_path / "evil.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"k": Evil()}, f)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_demonstrations(str(path))
+
+
 def test_native_format_passthrough(tmp_path):
     rng = np.random.default_rng(1)
     native = {(5, 6, 7, (1, 1, 7)): {
