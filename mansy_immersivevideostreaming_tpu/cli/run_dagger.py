@@ -64,6 +64,29 @@ def run(args, config):
         args.qoe_train_ids = list(range(len(config.qoe_split["train"])))
     key = seed_everything(args.seed)
     qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
+    if args.pref_interp > 0:
+        # preference-interpolation augmentation (VERDICT r2 item 1): train the
+        # cloned policy on a smooth manifold of preferences, not 4 points;
+        # the MPC expert labels interpolated preferences exactly as well as
+        # base ones (choose_action reads tables.qoe_weights[qoe_id])
+        rng = np.random.default_rng(args.seed)
+        base = np.asarray(qoe_weights, np.float64)
+        coef = rng.dirichlet(np.full(len(qoe_weights), args.pref_interp_alpha),
+                             size=args.pref_interp)
+        qoe_weights = qoe_weights + [[float(x) for x in np.round(c @ base, 4)]
+                                     for c in coef]
+    qoe_probs = None
+    if args.qoe_sample_weights is not None:
+        w = list(args.qoe_sample_weights)
+        if len(w) == len(args.qoe_train_ids) and len(qoe_weights) > len(w):
+            # pad interp preferences with the mean base weight
+            w = w + [float(np.mean(w))] * (len(qoe_weights) - len(w))
+        assert len(w) == len(qoe_weights), (
+            f"--qoe-sample-weights needs {len(args.qoe_train_ids)} (base) or "
+            f"{len(qoe_weights)} (with interp) values, got {len(w)}")
+        qoe_probs = w
+        print("DAgger qoe sampling weights:", [round(x, 3) for x in w])
+    print("DAgger QoE weights:", qoe_weights)
     models_dir = os.path.join(
         config.bs_models_dir, "expert",
         args.train_dataset + "_" + args.network_dataset,
@@ -125,10 +148,11 @@ def run(args, config):
         key, k_s, k_c, k_b = jax.random.split(key, 4)
         samples = jnp.asarray(generate_demo_samples(
             len(videos), len(users), len(traces), len(qoe_weights),
-            args.lanes, args.seed + r))
+            args.lanes, args.seed + r, qoe_probs=qoe_probs))
         obs, expert_act, done = collect(params, samples, k_c)
         dataset = dagger.aggregate(dataset, jax.device_get(obs),
-                                   np.asarray(expert_act), np.asarray(done))
+                                   np.asarray(expert_act), np.asarray(done),
+                                   weight=args.relabel_weight)
         params, opt_state, losses = dagger.bc_on_aggregate(
             apply_fn, optimizer, params, opt_state, dataset,
             args.bc_steps, args.batch_size, k_b, args.ent_coef)
@@ -158,6 +182,19 @@ def build_parser():
                         help="BC entropy bonus (reference uses 0.1; 0 = "
                              "sharpest conditional fit)")
     parser.add_argument("--horizon", type=int, default=4)
+    parser.add_argument("--pref-interp", type=int, default=0,
+                        help="(extension) append this many random convex "
+                             "combinations of the train preferences")
+    parser.add_argument("--pref-interp-alpha", type=float, default=1.0,
+                        help="Dirichlet concentration for --pref-interp")
+    parser.add_argument("--qoe-sample-weights", type=float, nargs="*",
+                        default=None,
+                        help="relative sampling weights per preference for "
+                             "DAgger rollouts (focus weak cells); base-pref "
+                             "count or full count with interp")
+    parser.add_argument("--relabel-weight", type=float, default=1.0,
+                        help="CE sampling weight for expert-relabeled policy "
+                             "states relative to the initial demo aggregate")
     parser.add_argument("--hidden-dim", type=int, default=128)
     parser.add_argument("--seed", type=int, default=5)
     parser.add_argument("--train-dataset", type=str, default="Jin2022")

@@ -81,11 +81,25 @@ def train(args, config, models_dir):
             os.remove(p)
 
     qoe_weights = [config.qoe_split["train"][i] for i in args.qoe_train_ids]
+    base_qoe_weights = list(qoe_weights)
+    if args.pref_interp > 0:
+        # preference-interpolation augmentation (extension, VERDICT r2 item 1):
+        # append random convex combinations of the train preferences so the
+        # policy sees a smooth conditioning manifold, not 4 isolated points
+        rng = np.random.default_rng(args.seed)
+        base = np.asarray(qoe_weights, np.float64)
+        coef = rng.dirichlet(np.full(len(qoe_weights), args.pref_interp_alpha),
+                             size=args.pref_interp)
+        qoe_weights = qoe_weights + [[float(x) for x in np.round(c @ base, 4)]
+                                     for c in coef]
     print("Training QoE weights:", qoe_weights)
     tables, samples, videos, users, traces = runner.build_split(
         config, args.train_dataset, args.network_dataset, "train", qoe_weights)
+    # valid split stays on the base preference set so valid returns remain
+    # comparable across runs with/without interpolation augmentation
     vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
-        config, args.train_dataset, args.network_dataset, "valid", qoe_weights)
+        config, args.train_dataset, args.network_dataset, "valid",
+        base_qoe_weights)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space)
@@ -109,7 +123,9 @@ def train(args, config, models_dir):
         vf_coef=args.vf_coef, ent_coef=args.ent_coef,
         max_grad_norm=args.max_grad_norm, value_clip=bool(args.value_clip),
         norm_adv=bool(args.norm_adv), rew_norm=bool(args.rew_norm),
-        repeat=args.repeat_per_collect, minibatch=args.batch_size)
+        repeat=args.repeat_per_collect, minibatch=args.batch_size,
+        norm_adv_per_pref=bool(args.norm_adv_per_pref),
+        n_prefs=len(qoe_weights))
 
     n_lanes = args.train_lanes
     n_steps = max(args.step_per_collect // n_lanes, 1)
@@ -169,6 +185,33 @@ def train(args, config, models_dir):
                 args.identifier_update_round, args.seed,
                 save_policy=lambda p: save_checkpoint(policy_bc_path, p),
                 save_identifier=lambda p: save_checkpoint(identifier_bc_path, p)))
+
+    if args.pretrain_identifier > 0:
+        # pre-train the identifier on the expert-demo grid BEFORE PPO starts
+        # (VERDICT r2 item 2: in the reference the identifier sees demos only
+        # under --bc, utils/mansy_utils.py:74-87; here the shaping signal is
+        # informative from step 0 without any policy imitation)
+        from mansy_immersivevideostreaming_tpu.data.tianshou_compat import (
+            load_demonstrations)
+        from mansy_immersivevideostreaming_tpu.rl.dagger import flatten_demos
+        from mansy_immersivevideostreaming_tpu.rl.identifier import (
+            pretrain_identifier_on_demos)
+        demos_path = args.pretrain_demos_path or os.path.join(
+            config.bs_models_dir, "expert",
+            args.train_dataset + "_" + args.network_dataset,
+            "qoe" + "_".join(map(str, args.qoe_train_ids)),
+            "train_demonstrations.pkl")
+        demo_obs, _ = flatten_demos(
+            list(load_demonstrations(demos_path).values()))
+        key, k_pre = jax.random.split(key)
+        id_params, id_opt_state, pre_losses, pre_valid = (
+            pretrain_identifier_on_demos(
+                id_apply, id_optimizer, id_params, id_opt_state, demo_obs,
+                args.pretrain_identifier, 4096, k_pre))
+        print(f"Identifier pretrained on {demo_obs['qoe_weight'].shape[0]} "
+              f"demo transitions ({args.pretrain_identifier} steps): "
+              f"mse {pre_losses[0]:.5f} -> {pre_losses[-1]:.5f}, "
+              f"valid {pre_valid:.5f}")
 
     if args.resume:
         if os.path.exists(checkpoint_path):
@@ -259,7 +302,8 @@ def train(args, config, models_dir):
             params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
                 policy_apply, optimizer, cfg, params, opt_state, traj,
                 rewards, last_values, ret_rms, k_u, ent_coef,
-                anchor_logits=anchor_logits, kl_coef=args.bc_kl)
+                anchor_logits=anchor_logits, kl_coef=args.bc_kl,
+                pref_ids=logs.qoe_id if args.norm_adv_per_pref else None)
 
             runner.append_episode_logs(
                 train_log_path,
@@ -271,7 +315,7 @@ def train(args, config, models_dir):
         vlogs, vmasks = runner.evaluate(policy_apply, params, vtables, vsamples,
                                         observe_mansy, k_v, eval_fn=valid_eval_fn)
         vrows = runner.masked_log_rows(vlogs, vmasks, vvideos, vusers, vtraces,
-                                       qoe_weights)
+                                       base_qoe_weights)
         runner.append_episode_logs(valid_log_path, vrows)
         rets = np.concatenate([np.asarray(l.ret)[m] for l, m in zip(vlogs, vmasks)])
         mean_reward = float(rets.mean())
@@ -418,6 +462,23 @@ def build_parser():
     parser.add_argument("--id-reward-center", action="store_true",
                         help="subtract the per-preference batch mean from the "
                              "identifier reward before shaping (extension)")
+    parser.add_argument("--norm-adv-per-pref", action="store_true",
+                        help="(extension) normalize advantages within each "
+                             "QoE-preference group instead of per minibatch")
+    parser.add_argument("--pretrain-identifier", type=int, default=0,
+                        help="(extension) minibatch-MSE steps pre-training "
+                             "the identifier on the expert-demo grid before "
+                             "PPO starts (0 = off)")
+    parser.add_argument("--pretrain-demos-path", type=str, default=None,
+                        help="demo pickle for --pretrain-identifier "
+                             "(default: the standard expert demos dir)")
+    parser.add_argument("--pref-interp", type=int, default=0,
+                        help="(extension) append this many random convex "
+                             "combinations of the train preferences as extra "
+                             "training preferences (0 = off)")
+    parser.add_argument("--pref-interp-alpha", type=float, default=1.0,
+                        help="Dirichlet concentration for --pref-interp "
+                             "combination coefficients")
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--train-identifier", action="store_true")
     parser.add_argument("--use-identifier", action="store_true")

@@ -93,13 +93,22 @@ def flatten_demos(demos) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     return obs, act
 
 
-def aggregate(dataset, new_obs, new_act, done=None):
+def aggregate(dataset, new_obs, new_act, done=None, weight: float = 1.0):
     """Append expert-labeled policy states to the aggregate dataset.
+
+    ``dataset`` is ``(obs, act)`` or ``(obs, act, w)`` where ``w`` [n] f32
+    is a per-transition CE sampling weight; the returned dataset always
+    carries weights (existing transitions default to 1.0).  ``weight``
+    scales the NEW transitions — e.g. 3.0 makes freshly relabeled policy
+    states 3x as likely to be sampled as the initial demo aggregate, so a
+    weak-cell-focused DAgger round isn't drowned by the start set.
 
     ``new_obs`` leaves are [T, N, ...]; ``new_act``/``done`` [T, N].  Only
     steps up to and including each lane's FIRST episode end are kept (the
     tail after auto-reset would duplicate episode starts)."""
-    obs, act = dataset
+    obs, act = dataset[0], dataset[1]
+    w = (np.asarray(dataset[2], np.float32) if len(dataset) > 2
+         else np.ones(act.shape[0], np.float32))
     T, N = new_act.shape
     if done is not None:
         first = runner.first_done_mask(np.asarray(done))
@@ -111,22 +120,33 @@ def aggregate(dataset, new_obs, new_act, done=None):
                 for k, v in new_obs.items()}
     flat_act = np.asarray(new_act).reshape(-1)[keep].astype(np.int32)
     return ({k: np.concatenate([obs[k], flat_obs[k]]) for k in obs},
-            np.concatenate([act, flat_act]))
+            np.concatenate([act, flat_act]),
+            np.concatenate([w, np.full(flat_act.shape[0], weight, np.float32)]))
 
 
 def bc_on_aggregate(apply_fn, optimizer, params, opt_state, dataset,
                     steps: int, batch_size: int, key: jax.Array,
                     ent_coef: float = 0.1):
-    """``steps`` minibatch CE steps over the aggregate (uniform sampling)."""
-    obs, act = dataset
+    """``steps`` minibatch CE steps over the aggregate (weighted sampling
+    when the dataset carries per-transition weights, else uniform)."""
+    obs, act = dataset[0], dataset[1]
     n = act.shape[0]
     obs_d = {k: jnp.asarray(v) for k, v in obs.items()}
     act_d = jnp.asarray(act)
+    probs = None
+    if len(dataset) > 2 and dataset[2] is not None:
+        w = np.asarray(dataset[2], np.float64)
+        if not np.allclose(w, w[0]):
+            probs = jnp.asarray(w / w.sum(), jnp.float32)
     ent = jnp.float32(ent_coef)
     losses = []
     for i in range(steps):
         key, k = jax.random.split(key)
-        idx = jax.random.randint(k, (min(batch_size, n),), 0, n)
+        if probs is None:
+            idx = jax.random.randint(k, (min(batch_size, n),), 0, n)
+        else:
+            idx = jax.random.choice(k, n, (min(batch_size, n),), replace=True,
+                                    p=probs)
         params, opt_state, loss = _bc_batch_step(
             apply_fn, optimizer, params, opt_state,
             {k_: v[idx] for k_, v in obs_d.items()}, act_d[idx], ent)

@@ -34,6 +34,11 @@ class PPOConfig:
     rew_norm: bool = True
     repeat: int = 2          # repeat_per_collect
     minibatch: int = 512
+    # extension (VERDICT r2 item 2): normalize advantages within each QoE
+    # preference group instead of over the whole minibatch, so one
+    # preference's larger reward scale can't dominate the gradient
+    norm_adv_per_pref: bool = False
+    n_prefs: int = 4
 
 
 def make_optimizer(lr: float, weight_decay: float = 1e-2) -> optax.GradientTransformation:
@@ -53,7 +58,15 @@ def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef, kl_coef):
     logp = jnp.take_along_axis(log_probs, batch["action"][:, None], axis=-1)[:, 0]
     ratio = jnp.exp(logp - batch["log_prob"])
     adv = batch["adv"]
-    if cfg.norm_adv:
+    if cfg.norm_adv_per_pref and "pref_id" in batch:
+        # per-preference-group mean/std over the minibatch
+        onehot = jax.nn.one_hot(batch["pref_id"], cfg.n_prefs)  # [B, K]
+        cnt = jnp.maximum(onehot.sum(axis=0), 1.0)
+        mean_k = (onehot.T @ adv) / cnt
+        var_k = (onehot.T @ (adv ** 2)) / cnt - mean_k ** 2
+        std = onehot @ jnp.sqrt(jnp.maximum(var_k, 0.0))
+        adv = (adv - onehot @ mean_k) / (std + 1e-8)
+    elif cfg.norm_adv:
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
     clip_loss = -jnp.minimum(
         ratio * adv,
@@ -88,14 +101,16 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
                last_values: jnp.ndarray, ret_rms: RunningStat,
                key: jax.Array, ent_coef: jnp.ndarray | float | None = None,
                anchor_logits: jnp.ndarray | None = None,
-               kl_coef: jnp.ndarray | float = 0.0):
+               kl_coef: jnp.ndarray | float = 0.0,
+               pref_ids: jnp.ndarray | None = None):
     """Full PPO update on a [T, N] trajectory with (possibly recomputed)
     ``rewards``.  Returns (params, opt_state, ret_rms, metrics).
 
     ``ent_coef`` optionally overrides ``cfg.ent_coef`` as a *traced* scalar so
     entropy-annealing schedules don't trigger recompiles.  ``anchor_logits``
     [T, N, A] (with ``kl_coef``) adds a KL penalty toward a frozen anchor
-    policy (see _ppo_loss)."""
+    policy (see _ppo_loss).  ``pref_ids`` [T, N] i32 enables
+    ``cfg.norm_adv_per_pref`` group-wise advantage normalization."""
     if ent_coef is None:
         ent_coef = cfg.ent_coef
     ent_coef = jnp.asarray(ent_coef, jnp.float32)
@@ -125,6 +140,8 @@ def ppo_update(apply_fn: Callable, optimizer: optax.GradientTransformation,
     if anchor_logits is not None:
         flat["anchor_logits"] = anchor_logits.reshape(
             (T * N,) + anchor_logits.shape[2:])
+    if pref_ids is not None:
+        flat["pref_id"] = pref_ids.reshape(-1)
     total = T * N
     mb_size = min(cfg.minibatch, total)
     n_mb = total // mb_size

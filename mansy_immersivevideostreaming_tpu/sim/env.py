@@ -55,7 +55,8 @@ def generate_environment_samples(num_videos: int, num_users: int,
 
 
 def generate_demo_samples(num_videos: int, num_users: int, num_traces: int,
-                          num_qoe: int, total: int, seed: int = 0) -> np.ndarray:
+                          num_qoe: int, total: int, seed: int = 0,
+                          qoe_probs: Sequence[float] | None = None) -> np.ndarray:
     """Stratified random (video, user, trace, qoe) schedule of ``total`` rows.
 
     Extension beyond the reference (whose round-robin schedule,
@@ -63,6 +64,10 @@ def generate_demo_samples(num_videos: int, num_users: int, num_traces: int,
     episodes): each column is a concatenation of independent permutations, so
     every id appears equally often (±1) while the cross-combinations are
     randomized — Latin-hypercube-style coverage for large demo grids.
+
+    ``qoe_probs`` (optional, len ``num_qoe``) replaces the uniform qoe column
+    with a weighted draw — used to focus DAgger relabeling on the weak
+    preference cells.
     """
     rng = np.random.default_rng(seed)
     cols = []
@@ -70,6 +75,10 @@ def generate_demo_samples(num_videos: int, num_users: int, num_traces: int,
         reps = math.ceil(total / n)
         col = np.concatenate([rng.permutation(n) for _ in range(reps)])[:total]
         cols.append(col)
+    if qoe_probs is not None:
+        p = np.asarray(qoe_probs, np.float64)
+        assert p.shape == (num_qoe,)
+        cols[3] = rng.choice(num_qoe, size=total, p=p / p.sum())
     return np.stack(cols, axis=1).astype(np.int32)
 
 

@@ -18,8 +18,11 @@ class ConsoleLogger:
         self.streams = streams
 
     def write(self, data):
+        # flush eagerly: the CLIs never close the tee'd log file, so buffered
+        # writes would otherwise be lost to concurrent readers (and to crash)
         for s in self.streams:
             s.write(data)
+            s.flush()
 
     def flush(self):
         for s in self.streams:

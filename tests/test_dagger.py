@@ -25,11 +25,13 @@ def test_flatten_and_aggregate_first_episode_only():
     new_obs = {"x": np.arange(8, dtype=np.float32).reshape(4, 2, 1)}
     new_act = np.arange(8).reshape(4, 2)
     done = np.array([[0, 0], [1, 0], [0, 0], [0, 1]], bool)
-    obs2, act2 = dagger.aggregate(({"x": obs["x"][:, :1]}, act),
-                                  new_obs, new_act, done)
+    obs2, act2, w2 = dagger.aggregate(({"x": obs["x"][:, :1]}, act),
+                                      new_obs, new_act, done, weight=3.0)
     assert act2.shape[0] == 5 + 6
     # lane 0 keeps t=0,1; lane 1 keeps t=0..3
     assert sorted(act2[5:].tolist()) == [0, 1, 2, 3, 5, 7]
+    # initial aggregate keeps weight 1, relabels get the boost
+    assert w2[:5].tolist() == [1.0] * 5 and w2[5:].tolist() == [3.0] * 6
 
 
 def test_dagger_round_improves_ce_on_synthetic():
