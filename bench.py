@@ -151,7 +151,7 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None):
 
 
 def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
-               profile_dir=None, n_batches=32):
+               profile_dir=None, n_batches=32, bf16=False):
     """MTIO train throughput via the PRODUCTION path: the on-device epoch
     scan (vp_train.train_epoch, one dispatch per n_batches minibatches).
 
@@ -169,7 +169,8 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
 
     model = ViewportTransformerMTIO(d_model=d_model,
                                     dim_feedforward=dim_feedforward,
-                                    fut_window=15)
+                                    fut_window=15,
+                                    dtype=jnp.bfloat16 if bf16 else jnp.float32)
     optimizer = vp_train.make_optimizer(1e-4)
     state = vp_train.create_train_state(model, jax.random.PRNGKey(0), 5, optimizer)
     key = jax.random.PRNGKey(1)
@@ -185,7 +186,8 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
                                          perm, key)
     float(losses[-1])
     log(f"[bench] mtio compile+first epoch ({n_batches} steps): "
-        f"{time.time() - t0:.1f}s (bs {bs}, d_model {d_model})")
+        f"{time.time() - t0:.1f}s (bs {bs}, d_model {d_model}"
+        f"{', bf16' if bf16 else ''})")
 
     box = {"state": state}
 
