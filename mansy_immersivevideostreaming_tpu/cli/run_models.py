@@ -173,7 +173,8 @@ def build_model(args):
     return ViewportTransformerMTIO(
         in_channel=2, fut_window=args.fut_window, d_model=args.hidden_dim,
         dim_feedforward=args.hidden_dim, num_encoder_layers=args.block_num,
-        num_decoder_layers=args.block_num, dtype=dtype)
+        num_decoder_layers=args.block_num, dtype=dtype,
+        teacher_forcing=getattr(args, "teacher_forcing", False))
 
 
 def run(args, config):
@@ -244,6 +245,11 @@ def build_parser():
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 compute dtype (params stay f32); TPU MXU "
                              "runs bf16 natively (extension)")
+    parser.add_argument("--teacher-forcing", action="store_true",
+                        help="single-pass ground-truth-fed TRAIN decode "
+                             "instead of the reference's 15-step "
+                             "autoregressive loop; inference stays AR "
+                             "(extension, see models/mtio.py)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all devices (SPMD DP)")
     parser.add_argument("--config-yml", type=str, default=None)

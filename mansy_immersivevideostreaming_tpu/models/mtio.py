@@ -55,6 +55,7 @@ class ViewportTransformerMTIO(nn.Module):
     dropout: float = 0.2
     repeat_prob: float = 0.5
     incremental: bool = True  # KV-cached decode (see _decode_incremental)
+    teacher_forcing: bool = False  # single-pass TRAIN decode (see below)
     dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 opt-in; params f32)
 
     def setup(self):
@@ -131,6 +132,29 @@ class ViewportTransformerMTIO(nn.Module):
             preds.append(pred)
         return jnp.stack(preds, axis=1)
 
+    def _decode_teacher_forced(self, memory, current, future,
+                               deterministic: bool):
+        """Single-pass TRAINING decode: ground truth in, all steps at once.
+
+        TPU-first opt-in extension (NOT in the reference: ``mtio.py:150-166``
+        always feeds back its own predictions during training).  The decoder
+        input at position t is the ground-truth viewport t-1 (position 0 is
+        ``current``), so the whole fut_window is decoded in ONE causal pass —
+        the 15 sequential [B, 1, d] decode calls that make the AR train step
+        decode-latency-bound (BASELINE.md round-3 MFU section) become a single
+        [B, F, d] pass with fut_window-times-larger matmuls.  Training drops
+        the reference's scheduled-sampling-style exposure handling; inference
+        (:meth:`sample`) is autoregressive either way, so accuracy must be
+        (and is) validated against the AR-trained baseline before use.
+        Returns the raw multi-head predictions [B, F, C].
+        """
+        tgt_in = jnp.concatenate([current, future[:, :-1]], axis=1)
+        tgt = self._embed(tgt_in, deterministic)
+        out = self.transformer.decode(tgt, memory,
+                                      causal_mask(self.fut_window),
+                                      deterministic)
+        return self._predict_coords(out)
+
     def __call__(self, history, current, future, train: bool = True):
         """Training forward; reference ``mtio.py:65-92``.
 
@@ -165,9 +189,13 @@ class ViewportTransformerMTIO(nn.Module):
         deterministic = not train
         src = self._embed(multi_history, deterministic)
         memory = self.transformer.encode(src, deterministic)
-        decode = (self._decode_incremental if self.incremental
-                  else self._decode_autoregressive)
-        pred = decode(memory, multi_current, deterministic)
+        if train and self.teacher_forcing:
+            pred = self._decode_teacher_forced(memory, multi_current,
+                                               multi_future, deterministic)
+        else:
+            decode = (self._decode_incremental if self.incremental
+                      else self._decode_autoregressive)
+            pred = decode(memory, multi_current, deterministic)
         return pred, multi_future
 
     def loss_function(self, pred, gt):

@@ -187,3 +187,51 @@ def test_train_epoch_matches_looped_train_steps(state):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6),
         st_scan.params, st_loop.params)
+
+
+def test_teacher_forced_decode_consistent_with_ar(state):
+    """Self-consistency of the single-pass teacher-forced train decode
+    (TPU-first extension, models/mtio.py _decode_teacher_forced): feeding the
+    AR decoder's own predictions back as the "ground truth" must reproduce
+    exactly those predictions — pins the causal mask, positional encoding,
+    and input-shift alignment to the reference's AR semantics
+    (ref mtio.py:150-166)."""
+    st, _ = state
+    rng = np.random.default_rng(11)
+    b = _batch(rng, B=3)
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+
+    def run(mdl):
+        mh = jnp.tile(b["history"], (1, 1, mdl.num_head))
+        mc = jnp.tile(b["current"], (1, 1, mdl.num_head))
+        src = mdl._embed(mh, True)
+        memory = mdl.transformer.encode(src, True)
+        ar = mdl._decode_incremental(memory, mc, True)
+        fake_future = ar  # positions shifted inside _decode_teacher_forced
+        tf = mdl._decode_teacher_forced(memory, mc, fake_future, True)
+        return ar, tf
+
+    ar, tf = MODEL.apply(variables, method=lambda m: run(m))
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(ar),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_teacher_forcing_train_step_decreases_loss():
+    tf_model = ViewportTransformerMTIO(d_model=32, dim_feedforward=32,
+                                       fut_window=5, teacher_forcing=True)
+    opt = make_optimizer(1e-3)
+    st = create_train_state(tf_model, jax.random.PRNGKey(3), his_window=5,
+                            optimizer=opt)
+    rng = np.random.default_rng(5)
+    b = _batch(rng, B=16)
+    key = jax.random.PRNGKey(4)
+    losses = []
+    for _ in range(12):
+        st, loss = train_step(tf_model, opt, st, b, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # inference path is unchanged (AR sample) and in range
+    out = sample_step(tf_model, st, b["history"], b["current"])
+    assert out.shape == (16, 5, 2)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
