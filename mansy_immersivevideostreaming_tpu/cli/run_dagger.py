@@ -118,9 +118,19 @@ def run(args, config):
     optimizer = ppo_mod.make_optimizer(args.lr)
     opt_state = optimizer.init(params)
 
+    pin_table = None
+    if args.pin_expert:
+        pin_table = np.full(len(qoe_weights), -1, np.int32)
+        for spec in args.pin_expert:
+            idx, act = (int(x) for x in spec.split(":"))
+            assert 0 <= idx < len(qoe_weights) and 0 <= act < config.action_space
+            pin_table[idx] = act
+        print("Expert pins (pref idx -> fixed action):",
+              {i: int(a) for i, a in enumerate(pin_table) if a >= 0})
+
     n_steps = runner.episode_step_bound(tables)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
-                                           args.horizon, n_steps)
+                                           args.horizon, n_steps, pin_table)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 
@@ -192,6 +202,11 @@ def build_parser():
                         help="relative sampling weights per preference for "
                              "DAgger rollouts (focus weak cells); base-pref "
                              "count or full count with interp")
+    parser.add_argument("--pin-expert", type=str, nargs="*", default=None,
+                        metavar="PREF_IDX:ACTION",
+                        help="pin a preference's expert label to a fixed "
+                             "action (e.g. '1:10' = always min-rate for the "
+                             "2nd preference) instead of the MPC search")
     parser.add_argument("--relabel-weight", type=float, default=1.0,
                         help="CE sampling weight for expert-relabeled policy "
                              "states relative to the initial demo aggregate")

@@ -33,12 +33,20 @@ from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
 def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                           etables: ExpertTables, horizon: int,
-                          n_steps: int):
+                          n_steps: int, pin_table=None):
     """Jitted: policy-driven rollout where each visited state is ALSO labeled
     by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
     [T, N], done [T, N]).  Lane count and the auto-reset stride are both
-    ``samples.shape[0]`` (one stride for reset_env AND step_env)."""
+    ``samples.shape[0]`` (one stride for reset_env AND step_env).
+
+    ``pin_table`` (optional) i32 [n_qoe_prefs]: for preference ``q`` with
+    ``pin_table[q] >= 0`` the "expert" label is that fixed action instead of
+    the MPC search — used to pin a preference to a known-good mode (e.g. the
+    min-rate mode for w=[1,7,1], which BEATS the horizon-limited MPC oracle
+    on episode QoE) while the MPC teaches the other preferences.  Entries of
+    -1 mean "use the MPC expert"."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
+    pins = None if pin_table is None else jnp.asarray(pin_table, jnp.int32)
 
     @jax.jit
     def collect(params: Any, samples: jnp.ndarray, key: jax.Array):
@@ -52,6 +60,9 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
             obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
             expert_act = jax.vmap(
                 lambda s: choose_action(tables, etables, s, seqs))(states)
+            if pins is not None:
+                pinned = pins[states.qoe_id]
+                expert_act = jnp.where(pinned >= 0, pinned, expert_act)
             logits, _ = apply_fn(params, obs)
             action = jax.random.categorical(k_act, logits)
             new_states, _, done, _ = jax.vmap(

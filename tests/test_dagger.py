@@ -34,6 +34,38 @@ def test_flatten_and_aggregate_first_episode_only():
     assert w2[:5].tolist() == [1.0] * 5 and w2[5:].tolist() == [3.0] * 6
 
 
+def test_pinned_expert_labels():
+    """Preferences with a pin get the fixed action; others keep MPC labels."""
+    tables = synthetic_sim_tables(num_videos=2, num_users=2, num_traces=2,
+                                  num_chunks=12, num_qoe=2)
+    etables = build_expert_tables(tables)
+    policy = MansyActorCritic(hidden_dim=16)
+    samples = jnp.asarray(generate_environment_samples(2, 2, 2, 2))
+    n_lanes = 8
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+
+    from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy, reset_env
+    states = jax.vmap(lambda i: reset_env(tables, samples, i, n_lanes))(
+        jnp.arange(n_lanes))
+    obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+    params = policy.init(jax.random.PRNGKey(0), obs0)["params"]
+
+    free = dagger.make_dagger_collector(apply_fn, tables, etables,
+                                        horizon=1, n_steps=6)
+    pinned = dagger.make_dagger_collector(apply_fn, tables, etables,
+                                          horizon=1, n_steps=6,
+                                          pin_table=np.array([-1, 10]))
+    _, act_free, _ = free(params, samples[:n_lanes], jax.random.PRNGKey(1))
+    _, act_pin, _ = pinned(params, samples[:n_lanes], jax.random.PRNGKey(1))
+    qoe_ids = np.asarray(samples[:n_lanes, 3])
+    act_free, act_pin = np.asarray(act_free), np.asarray(act_pin)
+    # same rollout RNG: unpinned preference labels are untouched
+    assert (act_pin[:, qoe_ids == 0] == act_free[:, qoe_ids == 0]).all()
+    # pinned preference labels are the fixed action everywhere
+    assert (act_pin[:, qoe_ids == 1] == 10).all()
+    assert (qoe_ids == 1).any() and (qoe_ids == 0).any()
+
+
 def test_dagger_round_improves_ce_on_synthetic():
     tables = synthetic_sim_tables(num_videos=2, num_users=2, num_traces=2,
                                   num_chunks=12, num_qoe=2)
