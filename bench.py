@@ -151,7 +151,8 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None):
 
 
 def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
-               profile_dir=None, n_batches=32, bf16=False):
+               profile_dir=None, n_batches=32, bf16=False,
+               teacher_forcing=False):
     """MTIO train throughput via the PRODUCTION path: the on-device epoch
     scan (vp_train.train_epoch, one dispatch per n_batches minibatches).
 
@@ -170,6 +171,7 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
     model = ViewportTransformerMTIO(d_model=d_model,
                                     dim_feedforward=dim_feedforward,
                                     fut_window=15,
+                                    teacher_forcing=teacher_forcing,
                                     dtype=jnp.bfloat16 if bf16 else jnp.float32)
     optimizer = vp_train.make_optimizer(1e-4)
     state = vp_train.create_train_state(model, jax.random.PRNGKey(0), 5, optimizer)
@@ -187,7 +189,7 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
     float(losses[-1])
     log(f"[bench] mtio compile+first epoch ({n_batches} steps): "
         f"{time.time() - t0:.1f}s (bs {bs}, d_model {d_model}"
-        f"{', bf16' if bf16 else ''})")
+        f"{', bf16' if bf16 else ''}{', teacher-forced' if teacher_forcing else ''})")
 
     box = {"state": state}
 
@@ -263,6 +265,10 @@ def main(argv=None):
     parser.add_argument("--mtio-sweep", action="store_true",
                         help="run the MTIO batch-size/d_model MFU sweep "
                              "instead of the standard bench")
+    parser.add_argument("--mtio-tf", action="store_true",
+                        help="measure the --teacher-forcing single-pass train "
+                             "decode (f32 + bf16, bs 512/2048) instead of the "
+                             "standard bench")
     parser.add_argument("--skip-abr", action="store_true",
                         help="skip the ABR headline (for quick MTIO runs)")
     args = parser.parse_args(argv)
@@ -276,6 +282,24 @@ def main(argv=None):
     except Exception as e:
         log(f"[bench] compilation cache unavailable: {e!r}")
     log(f"[bench] devices: {jax.devices()}")
+    if args.mtio_tf:
+        rows = []
+        for bs, bf16 in [(512, False), (2048, False), (512, True),
+                         (2048, True)]:
+            try:
+                rate, mfu = bench_mtio(bs=bs, bf16=bf16, teacher_forcing=True)
+            except Exception as e:
+                log(f"[tf] bs={bs} bf16={bf16}: FAILED ({type(e).__name__})")
+                rows.append({"bs": bs, "bf16": bf16, "samples_per_sec": None,
+                             "mfu": None, "error": type(e).__name__})
+                continue
+            rows.append({"bs": bs, "bf16": bf16,
+                         "samples_per_sec": round(rate, 1),
+                         "mfu": round(mfu, 5) if mfu else None})
+        print(json.dumps({"metric": "mtio_teacher_forced_sweep",
+                          "value": rows[0]["samples_per_sec"],
+                          "unit": "samples/s", "sweep": rows}), flush=True)
+        return
     if args.mtio_sweep:
         rows = mtio_sweep(args.profile)
         ok = [r for r in rows if r.get("samples_per_sec")]
