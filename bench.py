@@ -61,6 +61,18 @@ def steady_rate(step_once, min_seconds=3.0, chunk=10):
             return total, dt
 
 
+def dispersion(vals, digits=1):
+    """{median, min, max} over repeated measurements (VERDICT r3 weak #3:
+    the tunnel's run-to-run swing is ~25%, so a single number is ambiguous —
+    every headline now carries its spread)."""
+    import statistics
+    ok = [v for v in vals if v is not None]
+    if not ok:
+        return None
+    return {"median": round(statistics.median(ok), digits),
+            "min": round(min(ok), digits), "max": round(max(ok), digits)}
+
+
 def jnp_ravel_first(x):
     import jax
     leaves = jax.tree_util.tree_leaves(x)
@@ -79,7 +91,8 @@ def flops_of(jitted, *args):
         return None
 
 
-def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None):
+def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None,
+              n_repeats=3):
     import jax
     import jax.numpy as jnp
 
@@ -136,23 +149,31 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None):
         box["states"] = s
         return traj.reward
 
+    rates = []
     with _maybe_profile(profile_dir, "abr"):
-        iters_done, dt = steady_rate(one_collect, min_seconds=8.0, chunk=iters)
-    rate = iters_done * n_lanes * n_steps / dt
-    log(f"[bench] abr rollout: {n_lanes} lanes x {n_steps} steps x "
-        f"{iters_done} iters in {dt:.2f}s -> {rate:,.0f} env-steps/s")
+        for r in range(n_repeats):
+            iters_done, dt = steady_rate(one_collect, min_seconds=8.0,
+                                         chunk=iters)
+            rates.append(iters_done * n_lanes * n_steps / dt)
+            log(f"[bench] abr rollout repeat {r + 1}/{n_repeats}: {n_lanes} "
+                f"lanes x {n_steps} steps x {iters_done} iters in {dt:.2f}s "
+                f"-> {rates[-1]:,.0f} env-steps/s")
+    import statistics
+    rate = statistics.median(rates)
     flops = flops_of(collect, params, states, key)
-    mfu = None
+    mfus = None
     if flops:
-        mfu = flops * iters_done / dt / PEAK_FLOPS_V5E
+        # MFU is rate-proportional (constant FLOP/call), so derive per repeat
+        mfus = [f_rate / (n_lanes * n_steps) * flops / PEAK_FLOPS_V5E
+                for f_rate in rates]
         log(f"[bench] abr collect: {flops / 1e9:.2f} GFLOP/call -> "
-            f"MFU {mfu * 100:.2f}% of v5e bf16 peak")
-    return rate, mfu
+            f"MFU {statistics.median(mfus) * 100:.2f}% of v5e bf16 peak")
+    return rates, mfus
 
 
 def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
                profile_dir=None, n_batches=32, bf16=False,
-               teacher_forcing=False):
+               teacher_forcing=False, n_repeats=3):
     """MTIO train throughput via the PRODUCTION path: the on-device epoch
     scan (vp_train.train_epoch, one dispatch per n_batches minibatches).
 
@@ -198,25 +219,28 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
             model, optimizer, box["state"], data, bs, perm, key)
         return losses[-1]
 
+    rates = []
     with _maybe_profile(profile_dir, "mtio"):
-        epochs_done, dt = steady_rate(one_epoch, min_seconds=6.0, chunk=1)
+        for r in range(n_repeats):
+            epochs_done, dt = steady_rate(one_epoch, min_seconds=6.0, chunk=1)
+            rates.append(epochs_done * n_batches * bs / dt)
+            log(f"[bench] mtio train repeat {r + 1}/{n_repeats}: "
+                f"{epochs_done * n_batches} steps x bs {bs} in {dt:.2f}s "
+                f"(epoch-scan path) -> {rates[-1]:,.0f} samples/s "
+                f"(torch-CPU baseline {BASELINE_MTIO_SAMPLES}) "
+                f"=> {rates[-1] / BASELINE_MTIO_SAMPLES:,.0f}x")
+    import statistics
     state = box["state"]
-    steps_done = epochs_done * n_batches
-    rate = steps_done * bs / dt
-    log(f"[bench] mtio train: {steps_done} steps x bs {bs} in {dt:.2f}s "
-        f"(epoch-scan path) -> {rate:,.0f} samples/s "
-        f"(torch-CPU baseline {BASELINE_MTIO_SAMPLES}) "
-        f"=> {rate / BASELINE_MTIO_SAMPLES:,.0f}x")
     # flops of ONE train step; train_step donates state, so lower() on a copy
     batch = {k: v[:bs] for k, v in data.items()}
     flops = flops_of(vp_train.train_step, model, optimizer,
                      jax.tree.map(jnp.copy, state), batch, key)
-    mfu = None
+    mfus = None
     if flops:
-        mfu = flops * steps_done / dt / PEAK_FLOPS_V5E
+        mfus = [f_rate / bs * flops / PEAK_FLOPS_V5E for f_rate in rates]
         log(f"[bench] mtio train_step: {flops / 1e9:.2f} GFLOP/call -> "
-            f"MFU {mfu * 100:.2f}% of v5e bf16 peak")
-    return rate, mfu
+            f"MFU {statistics.median(mfus) * 100:.2f}% of v5e bf16 peak")
+    return rates, mfus
 
 
 def _maybe_profile(profile_dir, tag):
@@ -234,19 +258,27 @@ def _maybe_profile(profile_dir, tag):
 
 def mtio_sweep(profile_dir=None):
     """Batch-size / d_model sweep for the MFU analysis (VERDICT r2 item 4).
-    Prints one stderr table row per config; returns rows."""
+    Prints one stderr table row per config; returns rows.  ``profile_dir``
+    captures a trace of the parity config only (one trace per sweep — later
+    configs would clobber it)."""
+    import statistics
     rows = []
-    for bs, d_model in [(512, 512), (1024, 512), (2048, 512), (4096, 512),
-                        (8192, 512), (512, 1024), (2048, 1024)]:
+    configs = [(512, 512), (1024, 512), (2048, 512), (4096, 512),
+               (8192, 512), (512, 1024), (2048, 1024)]
+    for bs, d_model in configs:
+        parity = (bs, d_model) == (512, 512)
         try:
-            rate, mfu = bench_mtio(bs=bs, iters=6, d_model=d_model,
-                                   dim_feedforward=d_model)
+            rates, mfus = bench_mtio(bs=bs, iters=6, d_model=d_model,
+                                     dim_feedforward=d_model, n_repeats=1,
+                                     profile_dir=profile_dir if parity else None)
         except Exception as e:  # e.g. HBM OOM at the largest configs
             log(f"[sweep] bs={bs} d_model={d_model}: FAILED ({type(e).__name__})")
             rows.append({"bs": bs, "d_model": d_model,
                          "samples_per_sec": None, "mfu": None,
                          "error": type(e).__name__})
             continue
+        rate = statistics.median(rates)
+        mfu = statistics.median(mfus) if mfus else None
         rows.append({"bs": bs, "d_model": d_model,
                      "samples_per_sec": round(rate, 1),
                      "mfu": round(mfu, 5) if mfu else None})
@@ -283,21 +315,24 @@ def main(argv=None):
         log(f"[bench] compilation cache unavailable: {e!r}")
     log(f"[bench] devices: {jax.devices()}")
     if args.mtio_tf:
+        import statistics
         rows = []
         for bs, bf16 in [(512, False), (2048, False), (512, True),
                          (2048, True)]:
             try:
-                rate, mfu = bench_mtio(bs=bs, bf16=bf16, teacher_forcing=True)
+                rates, mfus = bench_mtio(bs=bs, bf16=bf16,
+                                         teacher_forcing=True, n_repeats=1)
             except Exception as e:
                 log(f"[tf] bs={bs} bf16={bf16}: FAILED ({type(e).__name__})")
                 rows.append({"bs": bs, "bf16": bf16, "samples_per_sec": None,
                              "mfu": None, "error": type(e).__name__})
                 continue
             rows.append({"bs": bs, "bf16": bf16,
-                         "samples_per_sec": round(rate, 1),
-                         "mfu": round(mfu, 5) if mfu else None})
+                         "samples_per_sec": round(statistics.median(rates), 1),
+                         "mfu": round(statistics.median(mfus), 5) if mfus else None})
+        ok = [r for r in rows if r.get("samples_per_sec")]
         print(json.dumps({"metric": "mtio_teacher_forced_sweep",
-                          "value": rows[0]["samples_per_sec"],
+                          "value": ok[0]["samples_per_sec"] if ok else None,
                           "unit": "samples/s", "sweep": rows}), flush=True)
         return
     if args.mtio_sweep:
@@ -307,33 +342,44 @@ def main(argv=None):
                           "value": ok[0]["samples_per_sec"] if ok else None,
                           "unit": "samples/s", "sweep": rows}), flush=True)
         return
-    abr_rate, abr_mfu = (None, None)
+    import statistics
+    abr_rates, abr_mfus = (None, None)
     if not args.skip_abr:
-        abr_rate, abr_mfu = bench_abr(profile_dir=args.profile)
+        abr_rates, abr_mfus = bench_abr(profile_dir=args.profile)
     try:
-        mtio_rate, mtio_mfu = bench_mtio(profile_dir=args.profile)
+        mtio_rates, mtio_mfus = bench_mtio(profile_dir=args.profile)
     except Exception as e:  # secondary benchmark must not sink the headline
         log(f"[bench] mtio bench failed: {e!r}")
-        mtio_rate = mtio_mfu = None
+        mtio_rates = mtio_mfus = None
+    mtio_rate = statistics.median(mtio_rates) if mtio_rates else None
+    mtio_mfu = statistics.median(mtio_mfus) if mtio_mfus else None
     if args.skip_abr:
         print(json.dumps({"metric": "mtio_samples_per_sec",
                           "value": round(mtio_rate, 1), "unit": "samples/s",
                           "vs_baseline": round(mtio_rate / BASELINE_MTIO_SAMPLES, 2),
-                          "mtio_mfu": round(mtio_mfu, 5) if mtio_mfu else None}),
+                          "mtio_mfu": round(mtio_mfu, 5) if mtio_mfu else None,
+                          "mtio_dispersion": dispersion(mtio_rates)}),
               flush=True)
         return
+    abr_rate = statistics.median(abr_rates)
     out = {
         "metric": "abr_env_steps_per_sec",
         "value": round(abr_rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(abr_rate / BASELINE_ENV_STEPS, 2),
+        "dispersion": dispersion(abr_rates),
     }
     if mtio_rate is not None:
         out["mtio_samples_per_sec"] = round(mtio_rate, 1)
         out["mtio_vs_baseline"] = round(mtio_rate / BASELINE_MTIO_SAMPLES, 2)
-    for k, v in (("mfu", abr_mfu), ("mtio_mfu", mtio_mfu)):
+        out["mtio_dispersion"] = dispersion(mtio_rates)
+    for k, v, disp in (("mfu", statistics.median(abr_mfus) if abr_mfus else None,
+                        ("mfu_dispersion", abr_mfus)),
+                       ("mtio_mfu", mtio_mfu,
+                        ("mtio_mfu_dispersion", mtio_mfus))):
         if v is not None:
             out[k] = round(v, 5)
+            out[disp[0]] = dispersion(disp[1], digits=5)
     print(json.dumps(out), flush=True)
 
 

@@ -135,11 +135,18 @@ def run(args, config):
                                   deterministic=True)
 
     def valid_return(p, k):
+        """Mean valid return, plus the per-preference breakdown (the round-4
+        targets live in single cells, so per-round visibility matters)."""
         logs, masks = runner.evaluate(apply_fn, p, vtables, vsamples,
                                       observe_mansy, k, eval_fn=eval_fn)
         rets = np.concatenate([np.asarray(l.ret)[m]
                                for l, m in zip(logs, masks)])
-        return float(rets.mean())
+        qids = np.concatenate([np.asarray(l.qoe_id)[m]
+                               for l, m in zip(logs, masks)])
+        per_pref = {q: float(rets[qids == q].mean())
+                    for q in sorted(set(qids.tolist()))}
+        pp = " ".join(f"q{q}:{v:.2f}" for q, v in per_pref.items())
+        return float(rets.mean()), pp
 
     out_path = args.output_path or os.path.join(models_dir,
                                                 "dagger_policy.ckpt")
@@ -148,10 +155,10 @@ def run(args, config):
     params, opt_state, losses = dagger.bc_on_aggregate(
         apply_fn, optimizer, params, opt_state, dataset,
         args.bc_steps, args.batch_size, k0, args.ent_coef)
-    best = valid_return(params, jax.random.PRNGKey(args.seed))
+    best, pp = valid_return(params, jax.random.PRNGKey(args.seed))
     save_checkpoint(out_path, params)
     print(f"Round 0 (BC fit): ce {losses[0]:.4f} -> {losses[-1]:.4f} | "
-          f"valid return {best:.3f} | saved {out_path}")
+          f"valid return {best:.3f} [{pp}] | saved {out_path}")
 
     for r in range(1, args.rounds + 1):
         t0 = time.time()
@@ -166,7 +173,7 @@ def run(args, config):
         params, opt_state, losses = dagger.bc_on_aggregate(
             apply_fn, optimizer, params, opt_state, dataset,
             args.bc_steps, args.batch_size, k_b, args.ent_coef)
-        ret = valid_return(params, jax.random.PRNGKey(args.seed + r))
+        ret, pp = valid_return(params, jax.random.PRNGKey(args.seed + r))
         marker = ""
         if ret > best:
             best = ret
@@ -174,7 +181,7 @@ def run(args, config):
             marker = " *best*"
         print(f"Round {r}/{args.rounds}: +{args.lanes} episodes -> "
               f"{dataset[1].shape[0]} transitions | ce {losses[-1]:.4f} | "
-              f"valid return {ret:.3f} (best {best:.3f}){marker} "
+              f"valid return {ret:.3f} [{pp}] (best {best:.3f}){marker} "
               f"[{time.time() - t0:.1f}s]")
     print("Best valid return:", best, "| policy at", out_path)
 

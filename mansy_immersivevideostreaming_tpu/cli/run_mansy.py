@@ -212,6 +212,11 @@ def train(args, config, models_dir):
               f"demo transitions ({args.pretrain_identifier} steps): "
               f"mse {pre_losses[0]:.5f} -> {pre_losses[-1]:.5f}, "
               f"valid {pre_valid:.5f}")
+        if args.data_parallel and jax.device_count() > 1:
+            # pretraining ran after the replication block and returned
+            # default-device arrays; restore the replicated mesh placement
+            id_params = jax.device_put(id_params, repl)
+            id_opt_state = jax.device_put(id_opt_state, repl)
 
     if args.resume:
         if os.path.exists(checkpoint_path):

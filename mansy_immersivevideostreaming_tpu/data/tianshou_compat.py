@@ -79,6 +79,10 @@ _SAFE_GLOBALS = {
     ("numpy.core.multiarray", "scalar"),
     ("numpy._core.multiarray", "_reconstruct"),
     ("numpy._core.multiarray", "scalar"),
+    # protocol-5 array pickles reconstruct via _frombuffer (numpy emits these
+    # for pickle.HIGHEST_PROTOCOL dumps; reference demos use protocol <= 4)
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.numeric", "_frombuffer"),
     ("numpy", "ndarray"),
     ("numpy", "dtype"),
     ("collections", "OrderedDict"),

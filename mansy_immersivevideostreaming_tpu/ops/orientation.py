@@ -42,10 +42,17 @@ def extract_direction_dataset2(q_xyzw: np.ndarray) -> np.ndarray:
 
 def degree_distance(v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
     """Angular distance in degrees (reference ``:50-53``), batched over
-    leading axes of v1."""
-    v1 = v1 / np.linalg.norm(v1, axis=-1, keepdims=True)
-    v2 = v2 / np.linalg.norm(v2, axis=-1, keepdims=True)
-    return np.degrees(np.arccos(np.clip(np.sum(v1 * v2, axis=-1), -1.0, 1.0)))
+    leading axes of v1.
+
+    At the poles (``vector_to_ang`` passes the zero projection when the
+    viewer looks exactly along [0,1,0]) the 0/0 normalize is degenerate in
+    the reference too; the nan propagates identically — we only silence the
+    RuntimeWarning."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v1 = v1 / np.linalg.norm(v1, axis=-1, keepdims=True)
+        v2 = v2 / np.linalg.norm(v2, axis=-1, keepdims=True)
+        return np.degrees(
+            np.arccos(np.clip(np.sum(v1 * v2, axis=-1), -1.0, 1.0)))
 
 
 def vector_to_ang(v: np.ndarray):

@@ -16,7 +16,7 @@ from mansy_immersivevideostreaming_tpu.sim import build_sim_tables, reset_env, s
 from mansy_immersivevideostreaming_tpu.sim.expert import (
     action_sequences, build_expert_tables, choose_action,
 )
-from tests_alloc_oracle import oracle_allocate
+from _alloc_oracle import oracle_allocate
 
 CFG = mansy.default_config()
 

@@ -127,7 +127,7 @@ def test_episode_parity(tables):
 
         from mansy_immersivevideostreaming_tpu.ops.allocation import (
             ACTION_TO_RATES)
-        from tests_alloc_oracle import oracle_allocate  # shared helper
+        from _alloc_oracle import oracle_allocate  # shared helper
 
         done = False
         steps = 0
