@@ -230,16 +230,18 @@ def train(args, config, models_dir):
         # becomes the conditioning-preserving KL anchor (extension)
         params = restore_checkpoint(args.init_path, params)
         print("Successfully init agent from:", args.init_path)
-        if args.bc_kl > 0:
+        if args.bc_kl > 0 or args.bc_kl_per_pref is not None:
             anchor_params = jax.tree_util.tree_map(jnp.copy, params)
-            print(f"KL anchor enabled (coef {args.bc_kl})")
+            print(f"KL anchor enabled (coef "
+                  f"{args.bc_kl_per_pref or args.bc_kl})")
     elif args.init_from_bc:
         if os.path.exists(policy_bc_path):
             params = restore_checkpoint(policy_bc_path, params)
             print("Successfully init agent from behavior cloning:", policy_bc_path)
-            if args.bc_kl > 0:
+            if args.bc_kl > 0 or args.bc_kl_per_pref is not None:
                 anchor_params = jax.tree_util.tree_map(jnp.copy, params)
-                print(f"KL-to-BC anchor enabled (coef {args.bc_kl})")
+                print(f"KL-to-BC anchor enabled (coef "
+                      f"{args.bc_kl_per_pref or args.bc_kl})")
         if os.path.exists(identifier_bc_path):
             id_params = restore_checkpoint(identifier_bc_path, id_params)
             print("Successfully init identifier from behavior cloning:",
@@ -304,11 +306,17 @@ def train(args, config, models_dir):
             if anchor_forward is not None:
                 a_logits, _ = anchor_forward(anchor_params, flat_obs)
                 anchor_logits = a_logits.reshape(traj.reward.shape + (-1,))
+            if args.bc_kl_per_pref is not None:
+                kl_coef = jnp.asarray(args.bc_kl_per_pref, jnp.float32)
+            else:
+                kl_coef = args.bc_kl
             params, opt_state, ret_rms, metrics = ppo_mod.ppo_update(
                 policy_apply, optimizer, cfg, params, opt_state, traj,
                 rewards, last_values, ret_rms, k_u, ent_coef,
-                anchor_logits=anchor_logits, kl_coef=args.bc_kl,
-                pref_ids=logs.qoe_id if args.norm_adv_per_pref else None)
+                anchor_logits=anchor_logits, kl_coef=kl_coef,
+                pref_ids=logs.qoe_id
+                if (args.norm_adv_per_pref or args.bc_kl_per_pref is not None)
+                else None)
 
             runner.append_episode_logs(
                 train_log_path,
@@ -507,6 +515,13 @@ def build_parser():
                         help="(extension) KL penalty toward the frozen BC "
                              "policy during PPO fine-tuning (requires "
                              "--init-from-bc)")
+    parser.add_argument("--bc-kl-per-pref", type=float, nargs="*",
+                        default=None,
+                        help="(extension) per-preference KL anchor "
+                             "coefficients, one per train preference; "
+                             "overrides --bc-kl (round-4 PPO diagnosis: "
+                             "tight on sharp constant-mode anchors, loose "
+                             "on dynamic cells)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard env lanes over all devices (SPMD)")
     parser.add_argument("--deterministic-eval", action="store_true",

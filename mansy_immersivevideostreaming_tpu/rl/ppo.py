@@ -85,11 +85,17 @@ def _ppo_loss(apply_fn, params, cfg: PPOConfig, batch, ent_coef, kl_coef):
     if "anchor_logits" in batch:
         # conditioning-preserving fine-tune: KL(anchor || pi) toward a frozen
         # (e.g. behavior-cloned) policy — keeps preference-conditioned modes
-        # from collapsing into the uniform attractor during PPO
+        # from collapsing into the uniform attractor during PPO.  kl_coef may
+        # be a [n_prefs] vector (round-4 extension): a per-preference anchor
+        # strength, e.g. tight on preferences whose anchor mode is a sharp
+        # constant and loose on the dynamic cells PPO should keep exploring
         a_logp = jax.nn.log_softmax(batch["anchor_logits"])
         a_p = jnp.exp(a_logp)
-        kl = jnp.sum(a_p * (a_logp - log_probs), axis=-1).mean()
-        loss = loss + kl_coef * kl
+        kl_i = jnp.sum(a_p * (a_logp - log_probs), axis=-1)
+        if kl_coef.ndim == 1 and "pref_id" in batch:
+            loss = loss + (kl_coef[batch["pref_id"]] * kl_i).mean()
+        else:
+            loss = loss + kl_coef * kl_i.mean()
     return loss, (clip_loss, vf_loss, entropy)
 
 

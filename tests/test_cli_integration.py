@@ -7,6 +7,7 @@ shapes, hermetic tree from :mod:`synthetic_tree`.
 """
 
 import glob
+import re
 import os
 
 import numpy as np
@@ -74,6 +75,35 @@ def test_run_mansy_train_test_end_to_end(tree):
     assert len(rows) == 1 + 4
     qoe = np.asarray([float(r.split(",")[6]) for r in rows[1:]])
     assert np.all(np.isfinite(qoe))
+
+
+def test_run_mansy_per_pref_kl_anchor(tree):
+    """--bc-kl-per-pref: per-preference KL anchor coefficients through the
+    real CLI loop, warm-started from the checkpoint the previous test wrote
+    (round-4 extension for the conditioning-preserving fine-tune)."""
+    base, cfg = tree
+    from mansy_immersivevideostreaming_tpu.cli import run_mansy
+
+    ckpts = glob.glob(os.path.join(
+        base, "models", "bitrate_selection", "mansy", "**",
+        "best_policy.ckpt"), recursive=True)
+    assert ckpts, "run the train test first"
+    args = run_mansy.build_parser().parse_args([
+        "--train", "--init-path", ckpts[0],
+        "--bc-kl-per-pref", "2.0", "1.0", "0.1", "0.1",
+        "--epochs", "1", "--step-per-epoch", "64",
+        "--step-per-collect", "64", "--train-lanes", "8",
+        "--batch-size", "64", "--hidden-dim", "16", "--seed", "21",
+        "--save-interval", "1"])
+    run_mansy.run(args, cfg)
+    logs = [p for p in glob.glob(os.path.join(
+        base, "models", "bitrate_selection", "mansy", "**", "console.log"),
+        recursive=True) if "seed_21" in p]
+    assert logs
+    text = open(logs[0]).read()
+    assert "KL anchor enabled (coef [2.0, 1.0, 0.1, 0.1])" in text
+    m = re.findall(r"valid mean return ([0-9.eE+-]+)", text)
+    assert m and np.isfinite(float(m[-1]))
 
 
 def test_run_expert_test_end_to_end(tree):
