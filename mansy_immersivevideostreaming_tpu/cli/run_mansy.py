@@ -332,6 +332,11 @@ def train(args, config, models_dir):
         runner.append_episode_logs(valid_log_path, vrows)
         rets = np.concatenate([np.asarray(l.ret)[m] for l, m in zip(vlogs, vmasks)])
         mean_reward = float(rets.mean())
+        vqids = np.concatenate([np.asarray(l.qoe_id)[m]
+                                for l, m in zip(vlogs, vmasks)])
+        per_pref = " ".join(
+            f"q{q}:{float(rets[vqids == q].mean()):.2f}"
+            for q in sorted(set(vqids.tolist())))
 
         if epoch % max(args.save_interval, 1) == 0:
             # periodic checkpoint (reference save_interval, run_mansy.py:313)
@@ -349,7 +354,8 @@ def train(args, config, models_dir):
         dt = time.time() - t0
         print(f"Epoch: {epoch} | env_step {env_step} | "
               f"{collects_per_epoch * n_lanes * n_steps / dt:,.0f} env-steps/s | "
-              f"valid mean return {mean_reward:.4f} (best {best_reward:.4f})")
+              f"valid mean return {mean_reward:.4f} [{per_pref}] "
+              f"(best {best_reward:.4f})")
         if metrics:
             print("loss:", float(metrics["loss"]), " --- ",
                   "loss/clip:", float(metrics["loss/clip"]), " --- ",
