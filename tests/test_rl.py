@@ -229,6 +229,42 @@ def test_ppo_per_pref_adv_norm():
     assert diff > 0.0
 
 
+def test_ppo_per_pref_kl_coef():
+    """Vector kl_coef: a uniform vector reproduces the scalar update exactly,
+    and raising one preference's coefficient changes the update (its lanes'
+    anchor KL is weighted harder)."""
+    rng = np.random.default_rng(11)
+    policy = MansyActorCritic(hidden_dim=32)
+    params = policy.init(jax.random.PRNGKey(0), _mansy_obs(rng, 2))["params"]
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+    opt = ppo_mod.make_optimizer(5e-4)
+    T, N = 8, 4
+    traj = _traj(rng, apply_fn, params, T, N)
+    pref_ids = jnp.tile(jnp.asarray([0, 0, 1, 1], jnp.int32), (T, 1))
+    anchor = jnp.asarray(rng.normal(size=(T, N, 15)), jnp.float32)
+    cfg = ppo_mod.PPOConfig(minibatch=32, repeat=1, n_prefs=2)
+
+    def run_update(kl_coef):
+        return ppo_mod.ppo_update(
+            apply_fn, opt, cfg, jax.tree_util.tree_map(jnp.copy, params),
+            opt.init(params), traj, traj.reward, jnp.zeros(N),
+            RunningStat.init(), jax.random.PRNGKey(1),
+            anchor_logits=anchor, kl_coef=kl_coef, pref_ids=pref_ids)
+
+    p_s, _, _, m_s = run_update(0.7)
+    p_u, _, _, m_u = run_update(jnp.asarray([0.7, 0.7], jnp.float32))
+    p_w, _, _, m_w = run_update(jnp.asarray([0.7, 5.0], jnp.float32))
+    assert all(np.isfinite(float(m["loss"])) for m in (m_s, m_u, m_w))
+    same = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).max()),
+        jax.tree_util.tree_map(lambda a, b: a - b, p_s, p_u), 0.0)
+    assert same < 1e-6, f"uniform vector must equal scalar, diff {same}"
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, p_s, p_w), 0.0)
+    assert diff > 0.0
+
+
 def test_pretrain_identifier_on_demos_reduces_loss():
     from mansy_immersivevideostreaming_tpu.rl.identifier import (
         pretrain_identifier_on_demos)
