@@ -172,7 +172,12 @@ def test_predict_export_end_to_end(tree):
 
 def test_run_expert_demos_and_dagger_end_to_end(tree):
     """run_expert --train writes demos the DAgger CLI can aggregate and
-    improve on (1 round, tiny shapes)."""
+    improve on (1 round, tiny shapes).
+
+    The DAgger leg runs the full round-4 conditioning flag combo
+    (preference interpolation + per-pref sample weights incl. interp slots +
+    pinned fixed-action experts + relabel weighting) so the unattended
+    at-scale runs exercise only tested paths."""
     base, cfg = tree
     from mansy_immersivevideostreaming_tpu.cli import run_dagger, run_expert
 
@@ -186,7 +191,10 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
 
     args = run_dagger.build_parser().parse_args([
         "--rounds", "1", "--lanes", "4", "--bc-steps", "10",
-        "--batch-size", "64", "--horizon", "1", "--hidden-dim", "16"])
+        "--batch-size", "64", "--horizon", "1", "--hidden-dim", "16",
+        "--pref-interp", "2", "--pref-interp-alpha", "1.0",
+        "--qoe-sample-weights", "0.5", "0.5", "4", "4", "2", "2",
+        "--relabel-weight", "4", "--pin-expert", "0:14", "1:10"])
     run_dagger.run(args, cfg)
     out = glob.glob(os.path.join(
         base, "models", "bitrate_selection", "expert", "**",
