@@ -130,7 +130,8 @@ def run(args, config):
 
     n_steps = runner.episode_step_bound(tables)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
-                                           args.horizon, n_steps, pin_table)
+                                           args.horizon, n_steps, pin_table,
+                                           causal=args.causal_expert)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 
@@ -214,6 +215,10 @@ def build_parser():
                         help="pin a preference's expert label to a fixed "
                              "action (e.g. '1:10' = always min-rate for the "
                              "2nd preference) instead of the MPC search")
+    parser.add_argument("--causal-expert", action="store_true",
+                        help="relabel with the causal harmonic-bandwidth MPC "
+                             "expert (imitable labels) instead of the "
+                             "privileged true-future-trace expert")
     parser.add_argument("--relabel-weight", type=float, default=1.0,
                         help="CE sampling weight for expert-relabeled policy "
                              "states relative to the initial demo aggregate")

@@ -37,7 +37,8 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
     observe_mansy, reset_env, step_env,
 )
 from mansy_immersivevideostreaming_tpu.sim.expert import (
-    ExpertTables, action_sequences, build_expert_tables, choose_action,
+    ExpertTables, action_sequences, build_expert_tables, causal_bw_estimate,
+    choose_action,
 )
 from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
@@ -79,10 +80,15 @@ def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
 
 
 def run_expert_episodes(tables, etables, samples, horizon: int,
-                        lane_chunk: int = 64, collect_obs: bool = False):
+                        lane_chunk: int = 64, collect_obs: bool = False,
+                        causal: bool = False):
     """Run each sample's episode once under the MPC expert.
 
     Returns a list of per-chunk results: (logs, first_done_mask, obs?, acts?).
+    ``causal``: use the causal harmonic-bandwidth expert
+    (``sim.expert.causal_bw_estimate``) instead of the reference's
+    privileged true-future-trace rollout — the causally reachable MPC
+    ceiling, this framework's diagnostic (no reference analogue).
     """
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     S = samples.shape[0]
@@ -98,7 +104,10 @@ def run_expert_episodes(tables, etables, samples, horizon: int,
         def body(states, _):
             obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
             actions = jax.vmap(
-                lambda s: choose_action(tables, etables, s, seqs))(states)
+                lambda s: choose_action(
+                    tables, etables, s, seqs,
+                    bw_hat=(causal_bw_estimate(tables, s) if causal
+                            else None)))(states)
             new_states, _, done, log = jax.vmap(
                 lambda s, a: step_env(tables, sub, s, a, n, False)
             )(states, actions)
@@ -142,7 +151,8 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
 
     t0 = time.time()
     chunks = run_expert_episodes(tables, etables, samples, args.horizon,
-                                 lane_chunk=args.lane_chunk, collect_obs=True)
+                                 lane_chunk=args.lane_chunk, collect_obs=True,
+                                 causal=args.causal_bw)
     demos = {}
     rows = []
     offset = 0
@@ -180,7 +190,8 @@ def test(args, config, qoe_weights, results_dir, cache_path):
     etables = get_expert_tables(tables, cache_path, args.refresh_cache)
     t0 = time.time()
     chunks = run_expert_episodes(tables, etables, samples, args.horizon,
-                                 lane_chunk=args.lane_chunk)
+                                 lane_chunk=args.lane_chunk,
+                                 causal=args.causal_bw)
     rows = []
     for log, first, _, _ in chunks:
         rows.extend(runner.masked_log_rows([log], [first], videos, users,
@@ -247,6 +258,10 @@ def build_parser():
     parser.add_argument("--lane-chunk", type=int, default=64,
                         help="episodes evaluated concurrently")
     parser.add_argument("--horizon", type=int, default=4)
+    parser.add_argument("--causal-bw", action="store_true",
+                        help="causal MPC: harmonic-mean bandwidth prediction "
+                             "from observed throughput instead of the "
+                             "privileged true future trace")
     parser.add_argument("--demo-samples", type=int, default=0,
                         help="widen the demo grid to this many stratified "
                              "(video,user,trace,qoe) episodes (extension; "

@@ -26,14 +26,14 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
     observe_mansy, reset_env, step_env,
 )
 from mansy_immersivevideostreaming_tpu.sim.expert import (
-    ExpertTables, action_sequences, choose_action,
+    ExpertTables, action_sequences, causal_bw_estimate, choose_action,
 )
 from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
 
 def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                           etables: ExpertTables, horizon: int,
-                          n_steps: int, pin_table=None):
+                          n_steps: int, pin_table=None, causal=False):
     """Jitted: policy-driven rollout where each visited state is ALSO labeled
     by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
     [T, N], done [T, N]).  Lane count and the auto-reset stride are both
@@ -44,7 +44,13 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
     the MPC search — used to pin a preference to a known-good mode (e.g. the
     min-rate mode for w=[1,7,1], which BEATS the horizon-limited MPC oracle
     on episode QoE) while the MPC teaches the other preferences.  Entries of
-    -1 mean "use the MPC expert"."""
+    -1 mean "use the MPC expert".
+
+    ``causal``: label with the CAUSAL expert (harmonic-mean bandwidth
+    prediction from the lane's own observed throughput,
+    ``sim.expert.causal_bw_estimate``) instead of the reference's
+    privileged true-future-trace rollout — causal labels are consistent
+    with the policy's observation and therefore imitable."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     pins = None if pin_table is None else jnp.asarray(pin_table, jnp.int32)
 
@@ -59,7 +65,10 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
             expert_act = jax.vmap(
-                lambda s: choose_action(tables, etables, s, seqs))(states)
+                lambda s: choose_action(
+                    tables, etables, s, seqs,
+                    bw_hat=(causal_bw_estimate(tables, s) if causal
+                            else None)))(states)
             if pins is not None:
                 pinned = pins[states.qoe_id]
                 expert_act = jnp.where(pinned >= 0, pinned, expert_act)

@@ -94,8 +94,30 @@ def action_sequences(horizon: int, action_space: int = 15) -> np.ndarray:
                      for j in range(horizon)], axis=1).astype(np.int32)
 
 
+def causal_bw_estimate(tables: SimTables, state: EnvState) -> jnp.ndarray:
+    """Harmonic-mean bandwidth predictor over the lane's OWN past throughput.
+
+    The stock expert rollout walks the true future network trace
+    (reference ``expert_env.py:358-422`` passes the env's live
+    ``network_trace`` into the virtual download) — privileged information no
+    causal policy can observe, so part of the MPC-oracle headroom is
+    unreachable by imitation.  This estimator uses exactly what the policy
+    itself observes (``mansy_env.py:136-150``: past achieved throughput,
+    newest first): the harmonic mean of the non-zero history entries — the
+    classic MPC-ABR predictor (FastMPC, Yin et al. SIGCOMM'15) —
+    de-normalized by ``max_throughput``.  Falls back to
+    ``0.5 * max_throughput`` at episode start while the history is empty.
+    """
+    hist = state.past_throughput
+    nz = hist > 0
+    n = jnp.sum(nz.astype(jnp.float32))
+    inv = jnp.sum(jnp.where(nz, 1.0 / jnp.maximum(hist, 1e-12), 0.0))
+    harm = jnp.where(n > 0, n / jnp.maximum(inv, 1e-12), jnp.float32(0.5))
+    return harm * tables.max_throughput
+
+
 def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
-                  seqs: jnp.ndarray) -> jnp.ndarray:
+                  seqs: jnp.ndarray, bw_hat=None) -> jnp.ndarray:
     """Best first action by horizon-step virtual rollouts
     (reference ``expert_env.py:358-422``).
 
@@ -103,6 +125,13 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
     (``expert_env.py:362``) by masking steps past ``end_chunk``.
     Per sequence the rollout shares the lane's real buffer/network/QoE state
     and uses the *pred* profiling tables, exactly as the reference.
+
+    ``bw_hat`` (optional scalar, raw trace units): CAUSAL mode — virtual
+    downloads run at this constant predicted bandwidth (``dt = size /
+    bw_hat``) instead of walking the true future trace, removing the
+    privileged-information advantage.  Pair with ``causal_bw_estimate``.
+    The reference has no such mode; it is this framework's diagnostic for
+    how much of the oracle ceiling is causally reachable.
     """
     v, u = state.video, state.user
     weights = tables.qoe_weights[state.qoe_id]
@@ -121,8 +150,11 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
             size = etables.pred_size[v, u, chunk, a]
             quality = etables.pred_quality[v, u, chunk, a]
             intra = etables.pred_intra[v, u, chunk, a]
-            new_net, dt = simulate_download_prefix(bw_row, bw_prefix, bw_len,
-                                                   net, size)
+            if bw_hat is None:
+                new_net, dt = simulate_download_prefix(bw_row, bw_prefix,
+                                                       bw_len, net, size)
+            else:
+                new_net, dt = net, size / bw_hat
             new_buf, rebuf = push_chunk(buf, tables.chunk_length, dt)
             q_n = quality / tables.max_rate
             intra_n = intra / tables.max_rate
