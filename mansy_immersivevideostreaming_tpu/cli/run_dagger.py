@@ -151,10 +151,22 @@ def run(args, config):
 
     out_path = args.output_path or os.path.join(models_dir,
                                                 "dagger_policy.ckpt")
+
+    def balanced(ds):
+        """Apply --class-balance multipliers on top of the aggregate's
+        relabel weights (sampling-level, so the CE loss itself is
+        unchanged); no-op at beta 0."""
+        if not args.class_balance:
+            return ds
+        w = (np.asarray(ds[2], np.float32) if len(ds) > 2
+             else np.ones(ds[1].shape[0], np.float32))
+        mult = dagger.class_balance_weights(ds[0], ds[1], args.class_balance)
+        return (ds[0], ds[1], w * mult)
+
     key, k0 = jax.random.split(key)
     # round 0: fit the initial aggregate
     params, opt_state, losses = dagger.bc_on_aggregate(
-        apply_fn, optimizer, params, opt_state, dataset,
+        apply_fn, optimizer, params, opt_state, balanced(dataset),
         args.bc_steps, args.batch_size, k0, args.ent_coef)
     best, pp = valid_return(params, jax.random.PRNGKey(args.seed))
     save_checkpoint(out_path, params)
@@ -172,7 +184,7 @@ def run(args, config):
                                    np.asarray(expert_act), np.asarray(done),
                                    weight=args.relabel_weight)
         params, opt_state, losses = dagger.bc_on_aggregate(
-            apply_fn, optimizer, params, opt_state, dataset,
+            apply_fn, optimizer, params, opt_state, balanced(dataset),
             args.bc_steps, args.batch_size, k_b, args.ent_coef)
         ret, pp = valid_return(params, jax.random.PRNGKey(args.seed + r))
         marker = ""
@@ -219,6 +231,12 @@ def build_parser():
                         help="relabel with the causal harmonic-bandwidth MPC "
                              "expert (imitable labels) instead of the "
                              "privileged true-future-trace expert")
+    parser.add_argument("--class-balance", type=float, default=0.0,
+                        metavar="BETA",
+                        help="within-preference inverse-class-frequency "
+                             "CE sampling exponent (0 = off, 1 = full "
+                             "balance); counters rare-label underfit of "
+                             "the causal expert's burst decisions")
     parser.add_argument("--relabel-weight", type=float, default=1.0,
                         help="CE sampling weight for expert-relabeled policy "
                              "states relative to the initial demo aggregate")

@@ -100,3 +100,27 @@ def test_dagger_round_improves_ce_on_synthetic():
         apply_fn, opt, params, opt.init(params), dataset, steps=20,
         batch_size=64, key=jax.random.PRNGKey(2))
     assert losses[-1] < losses[0]
+
+
+def test_class_balance_weights_rebalance_within_pref_only():
+    # two preferences; pref A has a 90/10 class skew, pref B is uniform
+    n_a, n_b = 200, 100
+    qoe = np.concatenate([np.tile([7, 1, 1], (n_a, 1)),
+                          np.tile([1, 7, 1], (n_b, 1))]).astype(np.float32)
+    act = np.concatenate([
+        np.array([3] * 180 + [14] * 20),   # pref A: 90% a3, 10% a14
+        np.array([10] * 50 + [3] * 50),    # pref B: balanced
+    ]).astype(np.int32)
+    mult = dagger.class_balance_weights({"qoe_weight": qoe}, act, beta=1.0)
+    a, b = mult[:n_a], mult[n_a:]
+    # within-pref mean stays 1 -> between-pref sampling mass is unchanged
+    assert np.isclose(a.mean(), 1.0) and np.isclose(b.mean(), 1.0)
+    # full balance: every class gets equal total mass within the pref
+    assert np.isclose(a[act[:n_a] == 3].sum(), a[act[:n_a] == 14].sum())
+    # rare class transitions are upweighted, common downweighted
+    assert a[act[:n_a] == 14].mean() > 1.0 > a[act[:n_a] == 3].mean()
+    # uniform pref is untouched
+    assert np.allclose(b, 1.0)
+    # beta=0 is a no-op
+    assert np.allclose(
+        dagger.class_balance_weights({"qoe_weight": qoe}, act, beta=0.0), 1.0)
