@@ -194,9 +194,12 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
         "--batch-size", "64", "--horizon", "1", "--hidden-dim", "16",
         "--pref-interp", "2", "--pref-interp-alpha", "1.0",
         "--qoe-sample-weights", "0.5", "0.5", "4", "4", "2", "2",
-        "--relabel-weight", "4", "--pin-expert", "0:14", "1:10"])
+        "--relabel-weight", "4", "--pin-expert", "0:14", "1:10",
+        "--causal-expert", "--class-balance", "0.5"])
     run_dagger.run(args, cfg)
     out = glob.glob(os.path.join(
         base, "models", "bitrate_selection", "expert", "**",
         "dagger_policy.ckpt"), recursive=True)
     assert out
+    # final-round params are always kept alongside the valid-best checkpoint
+    assert glob.glob(out[0] + ".last")
