@@ -94,6 +94,7 @@ def main(argv=None):
                    help="preference set (train = seen grid, test = unseen)")
     p.add_argument("--episodes-per-pref", type=int, default=64)
     p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--obs-action-values", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train-dataset", default="Jin2022")
     p.add_argument("--network-dataset", default="4G")
@@ -120,7 +121,8 @@ def main(argv=None):
     sub = jnp.asarray(samples[np.concatenate(picked)])
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
-                              action_space=config.action_space)
+                              action_space=config.action_space,
+                              use_action_values=args.obs_action_values)
     obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(
         jax.vmap(lambda i: reset_env(tables, sub, i, sub.shape[0]))(
             jnp.arange(sub.shape[0])))

@@ -109,7 +109,8 @@ def run(args, config):
           f"from {len(demos)} demos")
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
-                              action_space=config.action_space)
+                              action_space=config.action_space,
+                              use_action_values=args.obs_action_values)
     params = policy.init(key, dummy_obs(config))["params"]
     if args.init_path:
         params = restore_checkpoint(args.init_path, params)
@@ -247,6 +248,10 @@ def build_parser():
                         help="CE sampling weight for expert-relabeled policy "
                              "states relative to the initial demo aggregate")
     parser.add_argument("--hidden-dim", type=int, default=128)
+    parser.add_argument("--obs-action-values", action="store_true",
+                        help="(extension) add derived causal-MPC one-step "
+                             "QoE features per action to the policy net "
+                             "(models/abr_nets.py:causal_action_values)")
     parser.add_argument("--seed", type=int, default=5)
     parser.add_argument("--train-dataset", type=str, default="Jin2022")
     parser.add_argument("--network-dataset", type=str, default="4G")

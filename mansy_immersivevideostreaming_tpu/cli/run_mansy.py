@@ -102,7 +102,8 @@ def train(args, config, models_dir):
         base_qoe_weights)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
-                              action_space=config.action_space)
+                              action_space=config.action_space,
+                              use_action_values=args.obs_action_values)
     identifier = QoEIdentifier(hidden_dim=args.hidden_dim)
     key = seed_everything(args.seed)
     k_p, k_i, key = jax.random.split(key, 3)
@@ -383,7 +384,8 @@ def test(args, config, models_dir, results_dir):
         test_grid=True)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
-                              action_space=config.action_space)
+                              action_space=config.action_space,
+                              use_action_values=args.obs_action_values)
     key = seed_everything(args.seed)
     params = policy.init(key, dummy_obs(config))["params"]
     policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
@@ -472,6 +474,10 @@ def build_parser():
     parser.add_argument("--save-interval", type=int, default=4)
     parser.add_argument("--model", type=str, default="mansy")
     parser.add_argument("--hidden-dim", type=int, default=128)
+    parser.add_argument("--obs-action-values", action="store_true",
+                        help="(extension) add derived causal-MPC one-step "
+                             "QoE features per action to the policy net "
+                             "(models/abr_nets.py:causal_action_values)")
     parser.add_argument("--identifier-lr", type=float, default=1e-4)
     parser.add_argument("--identifier-update-round", type=int, default=2)
     parser.add_argument("--lamb", type=float, default=0.5)

@@ -26,6 +26,72 @@ import jax.numpy as jnp
 ORTHO = nn.initializers.orthogonal(scale=math.sqrt(2.0))
 
 
+def causal_action_values(obs: Dict[str, jnp.ndarray],
+                         size_over_throughput: float = 0.1,
+                         buffer_scale: float = 5.0) -> jnp.ndarray:
+    """[..., A+1] derived causal-MPC features from the 13 reference obs fields.
+
+    Extension (no reference analogue; motivation in BASELINE.md round-4): the
+    causal MPC teacher's decision variables are one-step QoE estimates per
+    action under the harmonic-mean bandwidth predictor.  Every input below is
+    already inside the reference's own observation (``mansy_env.py:136-150``),
+    so this adds NO information — it is feature engineering that hands the
+    policy the reciprocal/allocation arithmetic an MLP fits poorly:
+
+    * ``bw_hat``: harmonic mean of the non-zero past-throughput history
+      (FastMPC predictor, same as ``sim.expert.causal_bw_estimate``),
+      0.5 prior while empty;
+    * per action a: pyramid-allocate the *predicted* viewport
+      (``ops.allocation.allocate_tile_rates``), estimate download time
+      ``dt = size / bw_hat`` (``size_over_throughput`` = max_size /
+      max_throughput = 5e5/5e6, config.yml:152-157), rebuffer
+      ``max(0, dt - buffer)``, and viewport quality/variance evaluated on the
+      predicted viewport (the expert's tables evaluate on the ground-truth
+      viewport, ``expert_env.py:160-172`` — unknowable at decision time, so
+      the deployable feature uses pred);
+    * combined with the obs' normalized preference weights into one-step QoE
+      estimates (ordering-equivalent to the expert's raw-weight scoring).
+
+    Returns ``concat([qoe_est per action [A], bw_hat [1]])``.
+    """
+    from mansy_immersivevideostreaming_tpu.ops.allocation import (
+        ACTION_TO_RATES, allocate_tile_rates,
+    )
+
+    thpt = obs["throughput"]                      # [..., K], /max_throughput
+    nz = thpt > 0
+    n = jnp.sum(nz, axis=-1).astype(jnp.float32)
+    inv = jnp.sum(jnp.where(nz, 1.0 / jnp.maximum(thpt, 1e-12), 0.0), axis=-1)
+    bw_hat = jnp.where(n > 0, n / jnp.maximum(inv, 1e-12),
+                       jnp.float32(0.5))          # normalized units
+    sizes = obs["next_chunk_size"]                # [..., R, T], /max_size
+    quals = obs["next_chunk_quality"]             # [..., R, T], /max_rate
+    vp = obs["pred_viewport"].astype(jnp.float32)  # [..., T]
+    buf = obs["buffer"][..., 0] * buffer_scale    # seconds
+    prev_q = obs["past_viewport_qualities"][..., 0]
+    has_prev = jnp.sum(obs["action_one_hot"], axis=-1) > 0
+    w = obs["qoe_weight"]                         # [..., 3] normalized
+    vp_sum = jnp.maximum(jnp.sum(vp, axis=-1), 1e-6)
+    n_rates = sizes.shape[-2]
+
+    def per_action(a):
+        ri, ro = int(ACTION_TO_RATES[a, 0]), int(ACTION_TO_RATES[a, 1])
+        versions, _ = allocate_tile_rates(jnp.int32(ri), jnp.int32(ro), vp)
+        onehot = jax.nn.one_hot(versions, n_rates, axis=-2, dtype=jnp.float32)
+        size = jnp.sum(sizes * onehot, axis=(-2, -1))
+        q_tile = jnp.sum(quals * onehot, axis=-2)  # [..., T]
+        qual = jnp.sum(vp * q_tile, axis=-1) / vp_sum
+        intra = jnp.sum(vp * jnp.abs(q_tile - qual[..., None]), axis=-1) / vp_sum
+        dt = size_over_throughput * size / jnp.maximum(bw_hat, 1e-6)
+        rebuf = jnp.maximum(dt - buf, 0.0)
+        inter = jnp.where(has_prev, jnp.abs(qual - prev_q), 0.0)
+        return w[..., 0] * qual - w[..., 1] * rebuf - w[..., 2] * (intra + inter)
+
+    av = jnp.stack([per_action(a) for a in range(ACTION_TO_RATES.shape[0])],
+                   axis=-1)
+    return jnp.concatenate([av, bw_hat[..., None]], axis=-1)
+
+
 def _branch(x: jnp.ndarray, hidden: int, name: str) -> jnp.ndarray:
     h = nn.Dense(hidden, kernel_init=ORTHO, bias_init=nn.initializers.zeros,
                  name=name)(x.reshape(x.shape[0], -1))
@@ -41,11 +107,12 @@ class MansyFeatureNet(nn.Module):
     """
     hidden_dim: int = 128
     cond_key: str = "qoe_weight"
+    use_action_values: bool = False
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cond = _branch(obs[self.cond_key], self.hidden_dim, "cond")
-        feats = jnp.concatenate([
+        parts = [
             _branch(obs["throughput"], self.hidden_dim, "throughput"),
             _branch(obs["next_chunk_size"], self.hidden_dim, "next_size"),
             _branch(obs["next_chunk_quality"], self.hidden_dim, "next_quality"),
@@ -56,7 +123,12 @@ class MansyFeatureNet(nn.Module):
             _branch(obs["past_rebuffering"], self.hidden_dim, "past_rebuf"),
             _branch(obs["buffer"], self.hidden_dim, "buffer"),
             cond,
-        ], axis=-1)
+        ]
+        if self.use_action_values:
+            # derived causal-MPC features (extension; see causal_action_values)
+            parts.append(_branch(causal_action_values(obs), self.hidden_dim,
+                                 "action_values"))
+        feats = jnp.concatenate(parts, axis=-1)
         return feats, cond
 
 
@@ -65,10 +137,12 @@ class MansyActorCritic(nn.Module):
     residual (reference ``mansy.py:54-80``, residual at ``:65``/``:79``)."""
     hidden_dim: int = 128
     action_space: int = 15
+    use_action_values: bool = False
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         feats, cond = MansyFeatureNet(self.hidden_dim, "qoe_weight",
+                                      self.use_action_values,
                                       name="feature_net")(obs)
         a = nn.leaky_relu(nn.Dense(self.hidden_dim, kernel_init=ORTHO,
                                    bias_init=nn.initializers.zeros,

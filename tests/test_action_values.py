@@ -1,0 +1,125 @@
+"""Tests for the derived causal-MPC action-value observation features
+(``models/abr_nets.py:causal_action_values`` — round-4 extension)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_data
+
+import mansy_immersivevideostreaming_tpu as mansy
+from mansy_immersivevideostreaming_tpu.models.abr_nets import (
+    MansyActorCritic, causal_action_values,
+)
+from mansy_immersivevideostreaming_tpu.ops.allocation import ACTION_TO_RATES
+from _alloc_oracle import oracle_allocate
+
+CFG = mansy.default_config()
+
+
+def _random_obs(rng, batch=4, K=8, R=5, T=64, A=15):
+    vp = (rng.random((batch, T)) < 0.3).astype(np.float32)
+    vp[:, 0] = 1.0  # never empty
+    thpt = rng.random((batch, K)).astype(np.float32)
+    thpt[0, :] = 0.0  # episode start: empty history -> bw prior
+    one_hot = np.zeros((batch, A), np.float32)
+    one_hot[np.arange(1, batch), rng.integers(0, A, batch - 1)] = 1.0
+    w = rng.random((batch, 3)).astype(np.float32) + 0.1
+    w /= w.sum(-1, keepdims=True)
+    return {
+        "throughput": thpt,
+        "next_chunk_size": rng.random((batch, R, T)).astype(np.float32),
+        "next_chunk_quality": rng.random((batch, R, T)).astype(np.float32),
+        "pred_viewport": vp,
+        "rates_inside": rng.random((batch, K)).astype(np.float32),
+        "rates_outside": rng.random((batch, K)).astype(np.float32),
+        "viewport_acc": rng.random((batch, K)).astype(np.float32),
+        "buffer": rng.random((batch, 1)).astype(np.float32),
+        "qoe_weight": w,
+        "action_one_hot": one_hot,
+        "past_viewport_qualities": rng.random((batch, K)).astype(np.float32),
+        "past_quality_variances": rng.random((batch, K)).astype(np.float32),
+        "past_rebuffering": rng.random((batch, K)).astype(np.float32),
+    }
+
+
+def _host_action_values(obs):
+    """Pure-numpy mirror of causal_action_values (deque-BFS allocation)."""
+    B, A = obs["throughput"].shape[0], ACTION_TO_RATES.shape[0]
+    out = np.zeros((B, A + 1), np.float32)
+    for b in range(B):
+        thpt = obs["throughput"][b]
+        nz = thpt > 0
+        if nz.any():
+            bw_hat = nz.sum() / np.sum(1.0 / thpt[nz])
+        else:
+            bw_hat = 0.5
+        vp = obs["pred_viewport"][b]
+        vp_sum = max(vp.sum(), 1e-6)
+        buf = obs["buffer"][b, 0] * 5.0
+        prev_q = obs["past_viewport_qualities"][b, 0]
+        has_prev = obs["action_one_hot"][b].sum() > 0
+        w = obs["qoe_weight"][b]
+        t = np.arange(vp.shape[0])
+        for a in range(A):
+            ri, ro = ACTION_TO_RATES[a]
+            versions = oracle_allocate(int(ri), int(ro), vp)
+            size = obs["next_chunk_size"][b][versions, t].sum()
+            q_tile = obs["next_chunk_quality"][b][versions, t]
+            qual = np.sum(vp * q_tile) / vp_sum
+            intra = np.sum(vp * np.abs(q_tile - qual)) / vp_sum
+            rebuf = max(0.1 * size / max(bw_hat, 1e-6) - buf, 0.0)
+            inter = abs(qual - prev_q) if has_prev else 0.0
+            out[b, a] = w[0] * qual - w[1] * rebuf - w[2] * (intra + inter)
+        out[b, A] = bw_hat
+    return out
+
+
+def test_action_values_match_host_oracle():
+    rng = np.random.default_rng(7)
+    obs = _random_obs(rng)
+    got = np.asarray(causal_action_values(
+        {k: jnp.asarray(v) for k, v in obs.items()}))
+    want = _host_action_values(obs)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_actor_critic_with_action_values():
+    rng = np.random.default_rng(3)
+    obs = {k: jnp.asarray(v) for k, v in _random_obs(rng).items()}
+    policy = MansyActorCritic(hidden_dim=32, action_space=15,
+                              use_action_values=True)
+    params = policy.init(jax.random.PRNGKey(0), obs)["params"]
+    assert "action_values" in params["feature_net"]
+    logits, value = policy.apply({"params": params}, obs)
+    assert logits.shape == (4, 15) and value.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # the plain net must be unchanged (no extra branch params)
+    plain = MansyActorCritic(hidden_dim=32, action_space=15)
+    pparams = plain.init(jax.random.PRNGKey(0), obs)["params"]
+    assert "action_values" not in pparams["feature_net"]
+
+
+@requires_data
+def test_bw_hat_feature_matches_causal_expert_estimate():
+    """The feature's bw_hat (normalized) == sim.expert.causal_bw_estimate
+    (raw) on real env states, including the empty-history prior."""
+    from mansy_immersivevideostreaming_tpu.sim import (
+        build_sim_tables, reset_env, step_env,
+    )
+    from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy
+    from mansy_immersivevideostreaming_tpu.sim.expert import causal_bw_estimate
+
+    tables = build_sim_tables(CFG, "Jin2022", "4G", videos=[1], users=[1],
+                              traces=[0], qoe_weights=[[7, 1, 1]])
+    samples = jnp.asarray([[0, 0, 0, 0]], jnp.int32)
+    state = reset_env(tables, samples, jnp.int32(0), 1)
+    for step in range(4):
+        obs = observe_mansy(tables, state)
+        av = causal_action_values({k: v[None] for k, v in obs.items()})
+        got = float(av[0, -1]) * tables.max_throughput
+        want = float(causal_bw_estimate(tables, state))
+        assert got == pytest.approx(want, rel=1e-5)
+        state, _, _, _ = step_env(tables, samples, state, jnp.int32(5), 1, False)

@@ -189,13 +189,30 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
         "train_demonstrations.pkl"), recursive=True)
     assert demos
 
+    # pin a preference's demo labels with the committed tool, then feed the
+    # pinned aggregate to DAgger (round-4 hybrid-core workflow)
+    import pickle
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    import pin_demo_labels
+    pinned_path = demos[0] + ".pinned"
+    pin_demo_labels.main([demos[0], pinned_path, "--pin", "1:10"], config=cfg)
+    raw = pickle.load(open(pinned_path, "rb"))
+    pin_qoe = tuple(int(w) for w in cfg.qoe_split["train"][1])
+    for key, demo in raw.items():
+        if tuple(int(w) for w in key[3]) == pin_qoe:
+            assert (demo["act"] == 10).all()
+
     args = run_dagger.build_parser().parse_args([
+        "--demos-path", pinned_path,
         "--rounds", "1", "--lanes", "4", "--bc-steps", "10",
         "--batch-size", "64", "--horizon", "1", "--hidden-dim", "16",
         "--pref-interp", "2", "--pref-interp-alpha", "1.0",
         "--qoe-sample-weights", "0.5", "0.5", "4", "4", "2", "2",
         "--relabel-weight", "4", "--pin-expert", "0:14", "1:10",
-        "--causal-expert", "--class-balance", "0.5"])
+        "--causal-expert", "--class-balance", "0.5",
+        "--obs-action-values"])
     run_dagger.run(args, cfg)
     out = glob.glob(os.path.join(
         base, "models", "bitrate_selection", "expert", "**",
