@@ -95,6 +95,7 @@ def main(argv=None):
     p.add_argument("--episodes-per-pref", type=int, default=64)
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--obs-action-values", action="store_true")
+    p.add_argument("--av-logit-prior", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train-dataset", default="Jin2022")
     p.add_argument("--network-dataset", default="4G")
@@ -122,7 +123,8 @@ def main(argv=None):
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values)
+                              use_action_values=args.obs_action_values,
+                              av_logit_prior=args.av_logit_prior)
     obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(
         jax.vmap(lambda i: reset_env(tables, sub, i, sub.shape[0]))(
             jnp.arange(sub.shape[0])))

@@ -110,7 +110,8 @@ def run(args, config):
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values)
+                              use_action_values=args.obs_action_values,
+                              av_logit_prior=args.av_logit_prior)
     params = policy.init(key, dummy_obs(config))["params"]
     if args.init_path:
         params = restore_checkpoint(args.init_path, params)
@@ -252,6 +253,11 @@ def build_parser():
                         help="(extension) add derived causal-MPC one-step "
                              "QoE features per action to the policy net "
                              "(models/abr_nets.py:causal_action_values)")
+    parser.add_argument("--av-logit-prior", type=float, default=0.0,
+                        help="(extension) add beta * standardized causal "
+                             "one-step action values to the actor logits so "
+                             "the init policy ~= the causal-h1 MPC controller "
+                             "(models/abr_nets.py:MansyActorCritic)")
     parser.add_argument("--seed", type=int, default=5)
     parser.add_argument("--train-dataset", type=str, default="Jin2022")
     parser.add_argument("--network-dataset", type=str, default="4G")

@@ -103,7 +103,8 @@ def train(args, config, models_dir):
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values)
+                              use_action_values=args.obs_action_values,
+                              av_logit_prior=args.av_logit_prior)
     identifier = QoEIdentifier(hidden_dim=args.hidden_dim)
     key = seed_everything(args.seed)
     k_p, k_i, key = jax.random.split(key, 3)
@@ -385,7 +386,8 @@ def test(args, config, models_dir, results_dir):
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values)
+                              use_action_values=args.obs_action_values,
+                              av_logit_prior=args.av_logit_prior)
     key = seed_everything(args.seed)
     params = policy.init(key, dummy_obs(config))["params"]
     policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
@@ -478,6 +480,11 @@ def build_parser():
                         help="(extension) add derived causal-MPC one-step "
                              "QoE features per action to the policy net "
                              "(models/abr_nets.py:causal_action_values)")
+    parser.add_argument("--av-logit-prior", type=float, default=0.0,
+                        help="(extension) add beta * standardized causal "
+                             "one-step action values to the actor logits so "
+                             "the init policy ~= the causal-h1 MPC controller "
+                             "(models/abr_nets.py:MansyActorCritic)")
     parser.add_argument("--identifier-lr", type=float, default=1e-4)
     parser.add_argument("--identifier-update-round", type=int, default=2)
     parser.add_argument("--lamb", type=float, default=0.5)

@@ -134,10 +134,22 @@ class MansyFeatureNet(nn.Module):
 
 class MansyActorCritic(nn.Module):
     """Shared FeatureNet + actor/critic heads with the conditional-feature
-    residual (reference ``mansy.py:54-80``, residual at ``:65``/``:79``)."""
+    residual (reference ``mansy.py:54-80``, residual at ``:65``/``:79``).
+
+    ``av_logit_prior`` (extension, no reference analogue): add
+    ``beta * standardize(causal_action_values(obs)[:A])`` to the actor
+    logits.  At init the policy is then approximately the causal-h1 MPC
+    controller (BASELINE.md round-4 "causal-h1 teacher" section: seen
+    +0.1356, 92% of the privileged oracle) and learning only has to supply
+    residual corrections — e.g. the [1,7,1] constant-action pin — instead
+    of reconstructing the allocation/QoE arithmetic from raw features.
+    Standardizing per state keeps the argmax and makes beta the prior's
+    softmax sharpness.
+    """
     hidden_dim: int = 128
     action_space: int = 15
     use_action_values: bool = False
+    av_logit_prior: float = 0.0
 
     @nn.compact
     def __call__(self, obs: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -150,6 +162,11 @@ class MansyActorCritic(nn.Module):
         logits = nn.Dense(self.action_space, kernel_init=ORTHO,
                           bias_init=nn.initializers.zeros,
                           name="actor_out")(a + cond)
+        if self.av_logit_prior:
+            av = causal_action_values(obs)[..., :self.action_space]
+            av = (av - jnp.mean(av, axis=-1, keepdims=True)) / (
+                jnp.std(av, axis=-1, keepdims=True) + 1e-6)
+            logits = logits + jnp.float32(self.av_logit_prior) * av
         c = nn.leaky_relu(nn.Dense(self.hidden_dim, kernel_init=ORTHO,
                                    bias_init=nn.initializers.zeros,
                                    name="critic_fc")(feats))

@@ -102,6 +102,37 @@ def test_actor_critic_with_action_values():
     assert "action_values" not in pparams["feature_net"]
 
 
+def test_av_logit_prior_starts_as_causal_controller():
+    """With a large beta the init policy's argmax equals the action-value
+    argmax (the ~causal-h1 controller); with beta=0 logits are unchanged."""
+    rng = np.random.default_rng(11)
+    obs = {k: jnp.asarray(v) for k, v in _random_obs(rng, batch=32).items()}
+    base = MansyActorCritic(hidden_dim=32, action_space=15)
+    params = base.init(jax.random.PRNGKey(0), obs)["params"]
+
+    prior = MansyActorCritic(hidden_dim=32, action_space=15,
+                             av_logit_prior=50.0)
+    # the prior adds no parameters: the same pytree applies to both
+    pparams = prior.init(jax.random.PRNGKey(0), obs)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pparams)
+
+    logits0, _ = base.apply({"params": params}, obs)
+    logits_p, _ = prior.apply({"params": params}, obs)
+    av = causal_action_values(obs)[..., :15]
+    agree = np.mean(np.argmax(np.asarray(logits_p), -1) == np.argmax(
+        np.asarray(av), -1))
+    assert agree >= 0.9, agree
+    # beta=0 (the default) is bit-identical to the plain net
+    zero = MansyActorCritic(hidden_dim=32, action_space=15,
+                            av_logit_prior=0.0)
+    logits_z, _ = zero.apply({"params": params}, obs)
+    np.testing.assert_array_equal(np.asarray(logits0), np.asarray(logits_z))
+    # gradients still flow to the MLP under the prior
+    g = jax.grad(lambda p: prior.apply({"params": p}, obs)[0].sum())(params)
+    assert float(jnp.abs(g["actor_out"]["kernel"]).sum()) > 0
+
+
 @requires_data
 def test_bw_hat_feature_matches_causal_expert_estimate():
     """The feature's bw_hat (normalized) == sim.expert.causal_bw_estimate
