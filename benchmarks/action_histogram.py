@@ -96,6 +96,7 @@ def main(argv=None):
     p.add_argument("--hidden-dim", type=int, default=128)
     p.add_argument("--obs-action-values", action="store_true")
     p.add_argument("--av-logit-prior", type=float, default=0.0)
+    p.add_argument("--exact-action-values", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train-dataset", default="Jin2022")
     p.add_argument("--network-dataset", default="4G")
@@ -120,10 +121,18 @@ def main(argv=None):
         picked.append(rng.choice(rows, min(args.episodes_per_pref, len(rows)),
                                  replace=False))
     sub = jnp.asarray(samples[np.concatenate(picked)])
+    if args.exact_action_values:
+        from mansy_immersivevideostreaming_tpu.cli.run_expert import (
+            get_expert_tables)
+        from mansy_immersivevideostreaming_tpu.sim.expert import (
+            attach_action_values)
+        tables = attach_action_values(
+            tables, get_expert_tables(tables, None, False))
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values,
+                              use_action_values=(args.obs_action_values
+                                                 or args.exact_action_values),
                               av_logit_prior=args.av_logit_prior)
     obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(
         jax.vmap(lambda i: reset_env(tables, sub, i, sub.shape[0]))(

@@ -42,9 +42,9 @@ from mansy_immersivevideostreaming_tpu.utils.prng import (
 )
 
 
-def dummy_obs(config):
+def dummy_obs(config, exact_action_values: bool = False):
     import jax.numpy as jnp
-    return {
+    obs = {
         "throughput": jnp.zeros((2, 8)), "next_chunk_size": jnp.zeros((2, 5, 64)),
         "next_chunk_quality": jnp.zeros((2, 5, 64)),
         "pred_viewport": jnp.zeros((2, 64)), "rates_inside": jnp.zeros((2, 8)),
@@ -55,6 +55,9 @@ def dummy_obs(config):
         "past_quality_variances": jnp.zeros((2, 8)),
         "past_rebuffering": jnp.zeros((2, 8)),
     }
+    if exact_action_values:
+        obs["action_values"] = jnp.zeros((2, config.action_space + 1))
+    return obs
 
 
 def run(args, config):
@@ -100,6 +103,13 @@ def run(args, config):
     vweights = [config.qoe_split["valid"][i] for i in args.qoe_train_ids]
     vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
         config, args.train_dataset, args.network_dataset, "valid", vweights)
+    if args.exact_action_values:
+        from mansy_immersivevideostreaming_tpu.sim.expert import (
+            attach_action_values)
+        tables = attach_action_values(tables, etables)
+        vtables = attach_action_values(
+            vtables, get_expert_tables(
+                vtables, cache_path.replace("_cache", "_valid_cache"), False))
 
     demos_path = args.demos_path or os.path.join(models_dir,
                                                  "train_demonstrations.pkl")
@@ -110,9 +120,11 @@ def run(args, config):
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values,
+                              use_action_values=(args.obs_action_values
+                                                 or args.exact_action_values),
                               av_logit_prior=args.av_logit_prior)
-    params = policy.init(key, dummy_obs(config))["params"]
+    params = policy.init(key, dummy_obs(config,
+                                        args.exact_action_values))["params"]
     if args.init_path:
         params = restore_checkpoint(args.init_path, params)
         print("Initialized policy from", args.init_path)
@@ -258,6 +270,11 @@ def build_parser():
                              "one-step action values to the actor logits so "
                              "the init policy ~= the causal-h1 MPC controller "
                              "(models/abr_nets.py:MansyActorCritic)")
+    parser.add_argument("--exact-action-values", action="store_true",
+                        help="(extension) env-computed EXACT causal one-step "
+                             "action values as an observation field "
+                             "(sim.env.exact_action_values) — demos must be "
+                             "generated with the same flag")
     parser.add_argument("--seed", type=int, default=5)
     parser.add_argument("--train-dataset", type=str, default="Jin2022")
     parser.add_argument("--network-dataset", type=str, default="4G")

@@ -37,8 +37,8 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
     observe_mansy, reset_env, step_env,
 )
 from mansy_immersivevideostreaming_tpu.sim.expert import (
-    ExpertTables, action_sequences, build_expert_tables, causal_bw_estimate,
-    choose_action,
+    ExpertTables, action_sequences, attach_action_values, build_expert_tables,
+    causal_bw_estimate, choose_action, deployable_etables,
 )
 from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
 
@@ -63,10 +63,11 @@ def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
     if cache_path and os.path.exists(cache_path) and not refresh:
         with open(cache_path, "rb") as f:
             payload = pickle.load(f)
-        if isinstance(payload, dict) and payload.get("fingerprint") == fp:
+        if (isinstance(payload, dict) and payload.get("fingerprint") == fp
+                and len(payload["tables"]) == len(ExpertTables._fields)):
             print("Load expert cache from", cache_path)
             return ExpertTables(*(jnp.asarray(v) for v in payload["tables"]))
-        print("Expert cache stale (fingerprint mismatch) — rebuilding")
+        print("Expert cache stale (fingerprint or schema mismatch) — rebuilding")
     t0 = time.time()
     et = build_expert_tables(tables)
     print(f"Profiled expert tables in {time.time() - t0:.1f}s")
@@ -147,6 +148,12 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
             len(videos), len(users), len(traces), len(qoe_weights),
             args.demo_samples, args.seed))
     etables = get_expert_tables(tables, cache_path, args.refresh_cache)
+    if args.exact_action_values:
+        # demo observations then include the exact 'action_values' field,
+        # matching what the policy will observe at rollout/test time
+        tables = attach_action_values(tables, etables)
+    if args.deployable_eval:
+        etables = deployable_etables(etables)
     print("Total samples:", samples.shape[0])
 
     t0 = time.time()
@@ -188,6 +195,8 @@ def test(args, config, qoe_weights, results_dir, cache_path):
         config, args.test_dataset, args.network_dataset, "test", qoe_weights,
         test_grid=True)
     etables = get_expert_tables(tables, cache_path, args.refresh_cache)
+    if args.deployable_eval:
+        etables = deployable_etables(etables)
     t0 = time.time()
     chunks = run_expert_episodes(tables, etables, samples, args.horizon,
                                  lane_chunk=args.lane_chunk,
@@ -262,6 +271,17 @@ def build_parser():
                         help="causal MPC: harmonic-mean bandwidth prediction "
                              "from observed throughput instead of the "
                              "privileged true future trace")
+    parser.add_argument("--deployable-eval", action="store_true",
+                        help="score the MPC search on the fully deployable "
+                             "profiling tables (pred-allocated AND "
+                             "pred-evaluated quality/variance) instead of "
+                             "the gt-evaluated ones — with --causal-bw this "
+                             "is a controller a real player could run")
+    parser.add_argument("--exact-action-values", action="store_true",
+                        help="(extension) record the exact causal one-step "
+                             "action-value observation field in demos "
+                             "(sim.env.exact_action_values), for policies "
+                             "trained with the same flag")
     parser.add_argument("--demo-samples", type=int, default=0,
                         help="widen the demo grid to this many stratified "
                              "(video,user,trace,qoe) episodes (extension; "

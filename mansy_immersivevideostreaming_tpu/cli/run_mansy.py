@@ -54,9 +54,9 @@ except Exception:  # pragma: no cover - tensorboard optional
     SummaryWriter = None
 
 
-def dummy_obs(config, batch=2):
+def dummy_obs(config, batch=2, exact_action_values=False):
     k = config.past_k
-    return {
+    obs = {
         "throughput": jnp.zeros((batch, k)),
         "next_chunk_size": jnp.zeros((batch, config.num_rates, config.tile_total_num)),
         "next_chunk_quality": jnp.zeros((batch, config.num_rates, config.tile_total_num)),
@@ -71,6 +71,24 @@ def dummy_obs(config, batch=2):
         "past_quality_variances": jnp.zeros((batch, k)),
         "past_rebuffering": jnp.zeros((batch, k)),
     }
+    if exact_action_values:
+        obs["action_values"] = jnp.zeros((batch, config.action_space + 1))
+    return obs
+
+
+def _attach_exact_action_values(config, dataset, *tables_list):
+    """Attach deployable per-action profiling tables (expert-table build or
+    cache) so observe_mansy emits the exact 'action_values' field."""
+    from mansy_immersivevideostreaming_tpu.cli.run_expert import (
+        get_expert_tables)
+    from mansy_immersivevideostreaming_tpu.sim.expert import (
+        attach_action_values)
+    cache_dir = os.path.join(config.bs_models_dir, "expert")
+    out = []
+    for i, t in enumerate(tables_list):
+        cache = os.path.join(cache_dir, f"{dataset}_avcache{i}.pkl")
+        out.append(attach_action_values(t, get_expert_tables(t, cache, False)))
+    return out
 
 
 def train(args, config, models_dir):
@@ -100,15 +118,19 @@ def train(args, config, models_dir):
     vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
         config, args.train_dataset, args.network_dataset, "valid",
         base_qoe_weights)
+    if args.exact_action_values:
+        tables, vtables = _attach_exact_action_values(
+            config, args.train_dataset, tables, vtables)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values,
+                              use_action_values=(args.obs_action_values
+                                                 or args.exact_action_values),
                               av_logit_prior=args.av_logit_prior)
     identifier = QoEIdentifier(hidden_dim=args.hidden_dim)
     key = seed_everything(args.seed)
     k_p, k_i, key = jax.random.split(key, 3)
-    obs0 = dummy_obs(config)
+    obs0 = dummy_obs(config, exact_action_values=args.exact_action_values)
     params = policy.init(k_p, obs0)["params"]
     id_params = identifier.init(k_i, obs0)["params"]
 
@@ -383,13 +405,18 @@ def test(args, config, models_dir, results_dir):
     tables, samples, videos, users, traces = runner.build_split(
         config, args.test_dataset, args.network_dataset, "test", qoe_weights,
         test_grid=True)
+    if args.exact_action_values:
+        tables, = _attach_exact_action_values(
+            config, args.test_dataset + "_test", tables)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
-                              use_action_values=args.obs_action_values,
+                              use_action_values=(args.obs_action_values
+                                                 or args.exact_action_values),
                               av_logit_prior=args.av_logit_prior)
     key = seed_everything(args.seed)
-    params = policy.init(key, dummy_obs(config))["params"]
+    params = policy.init(key, dummy_obs(
+        config, exact_action_values=args.exact_action_values))["params"]
     policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
     if not os.path.exists(policy_path):
         raise FileExistsError(f"File not exist: {policy_path}")
@@ -485,6 +512,10 @@ def build_parser():
                              "one-step action values to the actor logits so "
                              "the init policy ~= the causal-h1 MPC controller "
                              "(models/abr_nets.py:MansyActorCritic)")
+    parser.add_argument("--exact-action-values", action="store_true",
+                        help="(extension) env-computed EXACT causal one-step "
+                             "action values as an observation field "
+                             "(sim.env.exact_action_values)")
     parser.add_argument("--identifier-lr", type=float, default=1e-4)
     parser.add_argument("--identifier-update-round", type=int, default=2)
     parser.add_argument("--lamb", type=float, default=0.5)

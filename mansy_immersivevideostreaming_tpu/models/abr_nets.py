@@ -92,6 +92,16 @@ def causal_action_values(obs: Dict[str, jnp.ndarray],
     return jnp.concatenate([av, bw_hat[..., None]], axis=-1)
 
 
+def _action_value_features(obs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """[..., A+1] action-value features: the env-computed exact field when
+    present (``sim.env.exact_action_values``, enabled by
+    ``--exact-action-values``), else the derived reconstruction above.  Both
+    have the same width, so checkpoints are interchangeable."""
+    if "action_values" in obs:
+        return obs["action_values"]
+    return causal_action_values(obs)
+
+
 def _branch(x: jnp.ndarray, hidden: int, name: str) -> jnp.ndarray:
     h = nn.Dense(hidden, kernel_init=ORTHO, bias_init=nn.initializers.zeros,
                  name=name)(x.reshape(x.shape[0], -1))
@@ -125,8 +135,9 @@ class MansyFeatureNet(nn.Module):
             cond,
         ]
         if self.use_action_values:
-            # derived causal-MPC features (extension; see causal_action_values)
-            parts.append(_branch(causal_action_values(obs), self.hidden_dim,
+            # causal-MPC action-value features (extension; exact env field
+            # when present, else the derived reconstruction)
+            parts.append(_branch(_action_value_features(obs), self.hidden_dim,
                                  "action_values"))
         feats = jnp.concatenate(parts, axis=-1)
         return feats, cond
@@ -163,7 +174,7 @@ class MansyActorCritic(nn.Module):
                           bias_init=nn.initializers.zeros,
                           name="actor_out")(a + cond)
         if self.av_logit_prior:
-            av = causal_action_values(obs)[..., :self.action_space]
+            av = _action_value_features(obs)[..., :self.action_space]
             av = (av - jnp.mean(av, axis=-1, keepdims=True)) / (
                 jnp.std(av, axis=-1, keepdims=True) + 1e-6)
             logits = logits + jnp.float32(self.av_logit_prior) * av

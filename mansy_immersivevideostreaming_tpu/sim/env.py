@@ -187,10 +187,56 @@ def _roll(hist: jnp.ndarray, new: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([new[None].astype(hist.dtype), hist[:-1]])
 
 
-def observe_mansy(tables: SimTables, state: EnvState) -> Dict[str, jnp.ndarray]:
-    """13-field MANSY observation (reference ``mansy_env.py:136-150``)."""
+def harmonic_bw_estimate(past_throughput: jnp.ndarray) -> jnp.ndarray:
+    """Harmonic mean of the non-zero (normalized) throughput history — the
+    classic FastMPC bandwidth predictor (Yin et al. SIGCOMM'15); 0.5 prior
+    while the history is empty.  Shared by the causal MPC expert
+    (``sim.expert.causal_bw_estimate``) and the exact action-value feature."""
+    nz = past_throughput > 0
+    n = jnp.sum(nz.astype(jnp.float32))
+    inv = jnp.sum(jnp.where(nz, 1.0 / jnp.maximum(past_throughput, 1e-12), 0.0))
+    return jnp.where(n > 0, n / jnp.maximum(inv, 1e-12), jnp.float32(0.5))
+
+
+def exact_action_values(tables: SimTables, state: EnvState) -> jnp.ndarray:
+    """[A+1] exact one-step causal action values + bw_hat (extension).
+
+    The causal-h1 MPC controller's decision variable, computed by the
+    environment from quantities causally available at decision time:
+    per-action quality/variance/size from the deployable profiling tables
+    (``tables.av_*``: pyramid allocation AND evaluation on the PREDICTED
+    viewport — the deployed predictor's output; the expert's own tables
+    evaluate on the ground-truth viewport, reference ``expert_env.py:160-172``,
+    which no real player can do), download time from the harmonic-mean
+    bandwidth estimate, and rebuffering from the simulator's own
+    ``push_chunk`` buffer dynamics.  Unlike the *derived*
+    ``models.abr_nets.causal_action_values`` reconstruction (which
+    approximates the dynamics from the normalized obs and scores +0.0636 as
+    a controller vs the true h1 expert's +0.1356 — BASELINE.md round-4), this
+    is bit-exactly the h1 search objective of
+    ``sim.expert.choose_action(..., bw_hat=...)`` on deployable tables.
+    """
     v, u, c = state.video, state.user, state.next_chunk
-    return {
+    bw_hat = harmonic_bw_estimate(state.past_throughput)  # normalized
+    q_n = tables.av_quality[v, u, c] / tables.max_rate        # [A]
+    intra_n = tables.av_intra[v, u, c] / tables.max_rate      # [A]
+    dt = tables.av_size[v, u, c] / (bw_hat * tables.max_throughput)
+    _, rebuf = push_chunk(state.buf, tables.chunk_length, dt)
+    w = tables.qoe_weights[state.qoe_id]
+    w = w / jnp.sum(w)
+    inter = jnp.where(state.qoe.has_prev,
+                      jnp.abs(q_n - state.qoe.prev_quality), 0.0)
+    av = w[0] * q_n - w[1] * rebuf - w[2] * (intra_n + inter)
+    return jnp.concatenate([av, bw_hat[None]])
+
+
+def observe_mansy(tables: SimTables, state: EnvState) -> Dict[str, jnp.ndarray]:
+    """13-field MANSY observation (reference ``mansy_env.py:136-150``); when
+    deployable action-value tables are attached (``tables.av_quality`` not
+    None), a 14th ``action_values`` field carries the exact causal one-step
+    QoE per action (see :func:`exact_action_values`)."""
+    v, u, c = state.video, state.user, state.next_chunk
+    obs = {
         "throughput": state.past_throughput,
         "next_chunk_size": tables.sizes[v, c] / tables.max_size,
         "next_chunk_quality": tables.qualities[v, c] / tables.max_rate,
@@ -206,6 +252,9 @@ def observe_mansy(tables: SimTables, state: EnvState) -> Dict[str, jnp.ndarray]:
         "past_quality_variances": state.past_var,
         "past_rebuffering": state.past_rebuf,
     }
+    if tables.av_quality is not None:
+        obs["action_values"] = exact_action_values(tables, state)
+    return obs
 
 
 def observe_simple(tables: SimTables, state: EnvState) -> Dict[str, jnp.ndarray]:

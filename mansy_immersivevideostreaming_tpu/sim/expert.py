@@ -28,7 +28,9 @@ import numpy as np
 from mansy_immersivevideostreaming_tpu.ops.allocation import (
     ACTION_TO_RATES, allocate_tile_rates,
 )
-from mansy_immersivevideostreaming_tpu.sim.env import EnvState
+from mansy_immersivevideostreaming_tpu.sim.env import (
+    EnvState, harmonic_bw_estimate,
+)
 from mansy_immersivevideostreaming_tpu.sim.simulator import (
     NetState, push_chunk, simulate_download_prefix,
 )
@@ -36,13 +38,23 @@ from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
 
 class ExpertTables(NamedTuple):
-    """[V, U, C, A] profiling tables (A = action space)."""
+    """[V, U, C, A] profiling tables (A = action space).
+
+    ``gt_*``: allocated AND evaluated on the ground-truth viewport;
+    ``pred_*``: allocated on the predicted viewport, evaluated on the
+    ground-truth one (both exactly as the reference,
+    ``expert_env.py:160-172``); ``dep_*`` (extension): allocated AND
+    evaluated on the predicted viewport — the fully *deployable* variant a
+    real player could compute at decision time (size needs no dep variant:
+    it depends only on the allocation, so ``pred_size`` applies)."""
     gt_quality: jnp.ndarray
     gt_intra: jnp.ndarray
     gt_size: jnp.ndarray
     pred_quality: jnp.ndarray
     pred_intra: jnp.ndarray
     pred_size: jnp.ndarray
+    dep_quality: jnp.ndarray
+    dep_intra: jnp.ndarray
 
 
 def build_expert_tables(tables: SimTables) -> ExpertTables:
@@ -72,7 +84,9 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
             lambda a: per_action(gt_vp, gt_vp, sizes_c, quals_c, a))(actions)
         p_q, p_i, p_s = jax.vmap(
             lambda a: per_action(pred_vp, gt_vp, sizes_c, quals_c, a))(actions)
-        return gt_q, gt_i, gt_s, p_q, p_i, p_s
+        d_q, d_i, _ = jax.vmap(
+            lambda a: per_action(pred_vp, pred_vp, sizes_c, quals_c, a))(actions)
+        return gt_q, gt_i, gt_s, p_q, p_i, p_s, d_q, d_i
 
     vs, us, cs = jnp.meshgrid(jnp.arange(V), jnp.arange(U), jnp.arange(C),
                               indexing="ij")
@@ -81,7 +95,26 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
     shaped = tuple(x.reshape(V, U, C, A) for x in flat)
     return ExpertTables(gt_quality=shaped[0], gt_intra=shaped[1],
                         gt_size=shaped[2], pred_quality=shaped[3],
-                        pred_intra=shaped[4], pred_size=shaped[5])
+                        pred_intra=shaped[4], pred_size=shaped[5],
+                        dep_quality=shaped[6], dep_intra=shaped[7])
+
+
+def deployable_etables(etables: ExpertTables) -> ExpertTables:
+    """Swap the search's scoring tables to the fully deployable variant, so
+    ``choose_action`` (which reads ``pred_quality``/``pred_intra``/
+    ``pred_size``) optimizes exactly what a real player could compute —
+    pred-allocated AND pred-evaluated quality/variance."""
+    return etables._replace(pred_quality=etables.dep_quality,
+                            pred_intra=etables.dep_intra)
+
+
+def attach_action_values(tables: SimTables, etables: ExpertTables) -> SimTables:
+    """Attach the deployable per-action profiling tables to the env tables,
+    enabling the exact ``action_values`` observation field
+    (``sim.env.exact_action_values``)."""
+    return tables._replace(av_quality=etables.dep_quality,
+                           av_intra=etables.dep_intra,
+                           av_size=etables.pred_size)
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,12 +141,7 @@ def causal_bw_estimate(tables: SimTables, state: EnvState) -> jnp.ndarray:
     de-normalized by ``max_throughput``.  Falls back to
     ``0.5 * max_throughput`` at episode start while the history is empty.
     """
-    hist = state.past_throughput
-    nz = hist > 0
-    n = jnp.sum(nz.astype(jnp.float32))
-    inv = jnp.sum(jnp.where(nz, 1.0 / jnp.maximum(hist, 1e-12), 0.0))
-    harm = jnp.where(n > 0, n / jnp.maximum(inv, 1e-12), jnp.float32(0.5))
-    return harm * tables.max_throughput
+    return harmonic_bw_estimate(state.past_throughput) * tables.max_throughput
 
 
 def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,

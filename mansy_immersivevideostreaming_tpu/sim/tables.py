@@ -49,6 +49,15 @@ class SimTables(NamedTuple):
     video_rates: jnp.ndarray  # i32 [R]
     past_k: int
     action_space: int
+    # optional deployable per-action profiling tables (extension; attached by
+    # ``sim.expert.attach_action_values`` when exact env-side action-value
+    # observation features are enabled): pyramid allocation AND quality/
+    # variance evaluation both on the PREDICTED viewport — everything causally
+    # available at decision time, unlike the expert's gt-evaluated tables
+    # (reference ``expert_env.py:160-172``).
+    av_quality: jnp.ndarray | None = None  # f32 [V, U, C, A]
+    av_intra: jnp.ndarray | None = None    # f32 [V, U, C, A]
+    av_size: jnp.ndarray | None = None     # f32 [V, U, C, A] bytes
 
 
 def synthetic_sim_tables(num_videos: int = 2, num_users: int = 2,

@@ -154,3 +154,131 @@ def test_bw_hat_feature_matches_causal_expert_estimate():
         want = float(causal_bw_estimate(tables, state))
         assert got == pytest.approx(want, rel=1e-5)
         state, _, _, _ = step_env(tables, samples, state, jnp.int32(5), 1, False)
+
+
+def _attached_synthetic(seed=0, perturb_pred=True):
+    """Synthetic tables with pred != gt plus attached deployable av tables."""
+    from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+    from mansy_immersivevideostreaming_tpu.sim.expert import (
+        attach_action_values, build_expert_tables,
+    )
+    tables = synthetic_sim_tables(seed=seed)
+    if perturb_pred:
+        rng = np.random.default_rng(seed + 1)
+        pred = np.asarray(tables.pred).copy()
+        flip = rng.random(pred.shape) < 0.15  # mispredict ~15% of tiles
+        pred = np.where(flip, 1.0 - pred, pred).astype(np.float32)
+        pred[..., 0] = 1.0  # never empty
+        tables = tables._replace(pred=jnp.asarray(pred))
+    etables = build_expert_tables(tables)
+    return attach_action_values(tables, etables), etables
+
+
+def test_deployable_tables_eval_on_pred_viewport():
+    """dep_* == pred_* iff pred == gt; they diverge under misprediction."""
+    from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+    from mansy_immersivevideostreaming_tpu.sim.expert import build_expert_tables
+    exact = build_expert_tables(synthetic_sim_tables(seed=3))  # pred == gt
+    np.testing.assert_allclose(np.asarray(exact.dep_quality),
+                               np.asarray(exact.pred_quality), rtol=1e-6)
+    _, perturbed = _attached_synthetic(seed=3)
+    assert not np.allclose(np.asarray(perturbed.dep_quality),
+                           np.asarray(perturbed.pred_quality))
+
+
+def test_exact_action_values_is_h1_search_objective():
+    """obs['action_values'][:A] equals (up to the preference-weight
+    normalization) the horizon-1 causal search totals of
+    sim.expert.choose_action on the deployable tables — the feature IS the
+    deployable h1 controller's objective, not an approximation."""
+    from mansy_immersivevideostreaming_tpu.sim.env import (
+        observe_mansy, reset_env, step_env,
+    )
+    from mansy_immersivevideostreaming_tpu.sim.expert import (
+        action_sequences, causal_bw_estimate, deployable_etables,
+    )
+    tables, etables = _attached_synthetic(seed=5)
+    dep = deployable_etables(etables)
+    seqs = jnp.asarray(action_sequences(1, int(tables.action_space)))
+    samples = jnp.asarray([[0, 0, 0, 0], [1, 1, 1, 1]], jnp.int32)
+    rng = np.random.default_rng(9)
+    A = int(tables.action_space)
+
+    def h1_totals(state):
+        """choose_action's per-sequence rollout totals, horizon 1."""
+        bw_hat = causal_bw_estimate(tables, state)
+        v, u, c = state.video, state.user, state.next_chunk
+        w = tables.qoe_weights[state.qoe_id]
+        size = dep.pred_size[v, u, c]
+        q_n = dep.pred_quality[v, u, c] / tables.max_rate
+        intra_n = dep.pred_intra[v, u, c] / tables.max_rate
+        from mansy_immersivevideostreaming_tpu.sim.simulator import push_chunk
+        _, rebuf = push_chunk(state.buf, tables.chunk_length, size / bw_hat)
+        inter = jnp.where(state.qoe.has_prev,
+                          jnp.abs(q_n - state.qoe.prev_quality), 0.0)
+        return w[0] * q_n - w[1] * rebuf - w[2] * (intra_n + inter)
+
+    for lane in range(2):
+        state = reset_env(tables, samples, jnp.int32(lane), 1)
+        for step in range(6):
+            obs = observe_mansy(tables, state)
+            assert "action_values" in obs
+            av = np.asarray(obs["action_values"])
+            w_sum = float(jnp.sum(tables.qoe_weights[state.qoe_id]))
+            np.testing.assert_allclose(av[:A] * w_sum,
+                                       np.asarray(h1_totals(state)),
+                                       rtol=1e-4, atol=1e-5)
+            # and argmax(av) is exactly the deployable causal-h1 expert move
+            from mansy_immersivevideostreaming_tpu.sim.expert import choose_action
+            act = choose_action(tables, dep, state, seqs,
+                                bw_hat=causal_bw_estimate(tables, state))
+            assert int(np.argmax(av[:A])) == int(act)
+            state, _, _, _ = step_env(tables, samples, state,
+                                      jnp.int32(rng.integers(0, A)), 1, False)
+
+
+def test_net_consumes_exact_field_checkpoint_compatible():
+    """With obs['action_values'] present the net uses it (no derived
+    recompute) and the param tree is identical to the derived-feature net —
+    checkpoints are interchangeable."""
+    rng = np.random.default_rng(13)
+    obs = {k: jnp.asarray(v) for k, v in _random_obs(rng).items()}
+    derived_net = MansyActorCritic(hidden_dim=32, action_space=15,
+                                   use_action_values=True)
+    params = derived_net.init(jax.random.PRNGKey(0), obs)["params"]
+
+    exact = dict(obs)
+    exact["action_values"] = jnp.asarray(
+        np.random.default_rng(14).random((4, 16)), jnp.float32)
+    params_e = derived_net.init(jax.random.PRNGKey(0), exact)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_e)
+
+    la, _ = derived_net.apply({"params": params}, obs)
+    lb, _ = derived_net.apply({"params": params}, exact)
+    assert not np.allclose(np.asarray(la), np.asarray(lb))  # field is used
+    # feeding the derived values through the exact field reproduces the
+    # derived-net output bit-exactly
+    same = dict(obs)
+    same["action_values"] = causal_action_values(obs)
+    lc, _ = derived_net.apply({"params": params}, same)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+
+
+def test_expert_cache_schema_guard(tmp_path):
+    """A pre-dep-tables 6-entry cache payload triggers a rebuild instead of a
+    constructor crash."""
+    import pickle
+    from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+    from mansy_immersivevideostreaming_tpu.cli.run_expert import (
+        _tables_fingerprint, get_expert_tables,
+    )
+    tables = synthetic_sim_tables(seed=2)
+    cache = str(tmp_path / "cache.pkl")
+    stale = [np.zeros((1,), np.float32)] * 6  # old schema: 6 tables
+    with open(cache, "wb") as f:
+        pickle.dump({"fingerprint": _tables_fingerprint(tables),
+                     "tables": stale}, f)
+    et = get_expert_tables(tables, cache, refresh=False)
+    assert et.dep_quality.shape == et.pred_quality.shape
+    assert et.dep_quality.ndim == 4
