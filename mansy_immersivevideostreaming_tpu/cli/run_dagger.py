@@ -143,6 +143,10 @@ def run(args, config):
               {i: int(a) for i, a in enumerate(pin_table) if a >= 0})
 
     n_steps = runner.episode_step_bound(tables)
+    if args.deployable_expert:
+        from mansy_immersivevideostreaming_tpu.sim.expert import (
+            deployable_etables)
+        etables = deployable_etables(etables)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
                                            args.horizon, n_steps, pin_table,
                                            causal=args.causal_expert)
@@ -251,6 +255,12 @@ def build_parser():
                         help="relabel with the causal harmonic-bandwidth MPC "
                              "expert (imitable labels) instead of the "
                              "privileged true-future-trace expert")
+    parser.add_argument("--deployable-expert", action="store_true",
+                        help="score relabel searches on the fully deployable "
+                             "profiling tables (pred-allocated AND "
+                             "pred-evaluated) — with --causal-expert the "
+                             "teacher is a pure function of causally "
+                             "available state, so its labels are consistent")
     parser.add_argument("--class-balance", type=float, default=0.0,
                         metavar="BETA",
                         help="within-preference inverse-class-frequency "
