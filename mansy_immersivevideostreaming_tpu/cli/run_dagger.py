@@ -106,10 +106,12 @@ def run(args, config):
     if args.exact_action_values:
         from mansy_immersivevideostreaming_tpu.sim.expert import (
             attach_action_values)
-        tables = attach_action_values(tables, etables)
+        tables = attach_action_values(tables, etables,
+                                      acc_correct=args.acc_correct)
         vtables = attach_action_values(
             vtables, get_expert_tables(
-                vtables, cache_path.replace("_cache", "_valid_cache"), False))
+                vtables, cache_path.replace("_cache", "_valid_cache"), False),
+            acc_correct=args.acc_correct)
 
     demos_path = args.demos_path or os.path.join(models_dir,
                                                  "train_demonstrations.pkl")
@@ -149,7 +151,8 @@ def run(args, config):
         etables = deployable_etables(etables)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
                                            args.horizon, n_steps, pin_table,
-                                           causal=args.causal_expert)
+                                           causal=args.causal_expert,
+                                           acc_correct=args.acc_correct)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 
@@ -255,6 +258,11 @@ def build_parser():
                         help="relabel with the causal harmonic-bandwidth MPC "
                              "expert (imitable labels) instead of the "
                              "privileged true-future-trace expert")
+    parser.add_argument("--acc-correct", action="store_true",
+                        help="score relabel searches (and the exact "
+                             "action-value obs field) with the accuracy-"
+                             "corrected deployable estimate "
+                             "(sim.expert.corrected_scores)")
     parser.add_argument("--deployable-expert", action="store_true",
                         help="score relabel searches on the fully deployable "
                              "profiling tables (pred-allocated AND "

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from mansy_immersivevideostreaming_tpu.config import load_config
 from mansy_immersivevideostreaming_tpu.rl import runner
 from mansy_immersivevideostreaming_tpu.sim.env import (
-    observe_mansy, reset_env, step_env,
+    observe_mansy, reset_env, step_env, viewport_acc_estimate,
 )
 from mansy_immersivevideostreaming_tpu.sim.expert import (
     ExpertTables, action_sequences, attach_action_values, build_expert_tables,
@@ -82,7 +82,7 @@ def get_expert_tables(tables, cache_path: str, refresh: bool) -> ExpertTables:
 
 def run_expert_episodes(tables, etables, samples, horizon: int,
                         lane_chunk: int = 64, collect_obs: bool = False,
-                        causal: bool = False):
+                        causal: bool = False, acc_correct: bool = False):
     """Run each sample's episode once under the MPC expert.
 
     Returns a list of per-chunk results: (logs, first_done_mask, obs?, acts?).
@@ -90,6 +90,10 @@ def run_expert_episodes(tables, etables, samples, horizon: int,
     (``sim.expert.causal_bw_estimate``) instead of the reference's
     privileged true-future-trace rollout — the causally reachable MPC
     ceiling, this framework's diagnostic (no reference analogue).
+    ``acc_correct``: score rollouts with the accuracy-corrected deployable
+    quality/variance estimate (``sim.expert.corrected_scores`` at the lane's
+    own ``sim.env.viewport_acc_estimate``) instead of the search tables'
+    ground-truth-viewport evaluation.
     """
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     S = samples.shape[0]
@@ -108,7 +112,9 @@ def run_expert_episodes(tables, etables, samples, horizon: int,
                 lambda s: choose_action(
                     tables, etables, s, seqs,
                     bw_hat=(causal_bw_estimate(tables, s) if causal
-                            else None)))(states)
+                            else None),
+                    acc_hat=(viewport_acc_estimate(s.past_acc)
+                             if acc_correct else None)))(states)
             new_states, _, done, log = jax.vmap(
                 lambda s, a: step_env(tables, sub, s, a, n, False)
             )(states, actions)
@@ -151,7 +157,8 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
     if args.exact_action_values:
         # demo observations then include the exact 'action_values' field,
         # matching what the policy will observe at rollout/test time
-        tables = attach_action_values(tables, etables)
+        tables = attach_action_values(tables, etables,
+                                      acc_correct=args.acc_correct)
     if args.deployable_eval:
         etables = deployable_etables(etables)
     print("Total samples:", samples.shape[0])
@@ -159,7 +166,8 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
     t0 = time.time()
     chunks = run_expert_episodes(tables, etables, samples, args.horizon,
                                  lane_chunk=args.lane_chunk, collect_obs=True,
-                                 causal=args.causal_bw)
+                                 causal=args.causal_bw,
+                                 acc_correct=args.acc_correct)
     demos = {}
     rows = []
     offset = 0
@@ -200,7 +208,8 @@ def test(args, config, qoe_weights, results_dir, cache_path):
     t0 = time.time()
     chunks = run_expert_episodes(tables, etables, samples, args.horizon,
                                  lane_chunk=args.lane_chunk,
-                                 causal=args.causal_bw)
+                                 causal=args.causal_bw,
+                                 acc_correct=args.acc_correct)
     rows = []
     for log, first, _, _ in chunks:
         rows.extend(runner.masked_log_rows([log], [first], videos, users,
@@ -277,6 +286,12 @@ def build_parser():
                              "pred-evaluated quality/variance) instead of "
                              "the gt-evaluated ones — with --causal-bw this "
                              "is a controller a real player could run")
+    parser.add_argument("--acc-correct", action="store_true",
+                        help="score the MPC search with the accuracy-"
+                             "corrected deployable quality/variance estimate "
+                             "(sim.expert.corrected_scores at the lane's own "
+                             "observed prediction-accuracy history) — fully "
+                             "causal, unlike the gt-evaluated tables")
     parser.add_argument("--exact-action-values", action="store_true",
                         help="(extension) record the exact causal one-step "
                              "action-value observation field in demos "

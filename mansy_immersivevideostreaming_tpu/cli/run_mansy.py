@@ -76,9 +76,12 @@ def dummy_obs(config, batch=2, exact_action_values=False):
     return obs
 
 
-def _attach_exact_action_values(config, dataset, *tables_list):
+def _attach_exact_action_values(config, dataset, *tables_list,
+                                acc_correct=False):
     """Attach deployable per-action profiling tables (expert-table build or
-    cache) so observe_mansy emits the exact 'action_values' field."""
+    cache) so observe_mansy emits the exact 'action_values' field; with
+    ``acc_correct`` the field is the accuracy-corrected estimate
+    (sim.expert.corrected_scores)."""
     from mansy_immersivevideostreaming_tpu.cli.run_expert import (
         get_expert_tables)
     from mansy_immersivevideostreaming_tpu.sim.expert import (
@@ -87,7 +90,8 @@ def _attach_exact_action_values(config, dataset, *tables_list):
     out = []
     for i, t in enumerate(tables_list):
         cache = os.path.join(cache_dir, f"{dataset}_avcache{i}.pkl")
-        out.append(attach_action_values(t, get_expert_tables(t, cache, False)))
+        out.append(attach_action_values(t, get_expert_tables(t, cache, False),
+                                        acc_correct=acc_correct))
     return out
 
 
@@ -120,7 +124,8 @@ def train(args, config, models_dir):
         base_qoe_weights)
     if args.exact_action_values:
         tables, vtables = _attach_exact_action_values(
-            config, args.train_dataset, tables, vtables)
+            config, args.train_dataset, tables, vtables,
+            acc_correct=args.acc_correct)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
@@ -407,7 +412,8 @@ def test(args, config, models_dir, results_dir):
         test_grid=True)
     if args.exact_action_values:
         tables, = _attach_exact_action_values(
-            config, args.test_dataset + "_test", tables)
+            config, args.test_dataset + "_test", tables,
+            acc_correct=args.acc_correct)
 
     policy = MansyActorCritic(hidden_dim=args.hidden_dim,
                               action_space=config.action_space,
@@ -512,6 +518,10 @@ def build_parser():
                              "one-step action values to the actor logits so "
                              "the init policy ~= the causal-h1 MPC controller "
                              "(models/abr_nets.py:MansyActorCritic)")
+    parser.add_argument("--acc-correct", action="store_true",
+                        help="use the accuracy-corrected deployable estimate "
+                             "(sim.expert.corrected_scores) for the exact "
+                             "action-value obs field")
     parser.add_argument("--exact-action-values", action="store_true",
                         help="(extension) env-computed EXACT causal one-step "
                              "action values as an observation field "

@@ -23,7 +23,7 @@ import optax
 
 from mansy_immersivevideostreaming_tpu.rl import runner
 from mansy_immersivevideostreaming_tpu.sim.env import (
-    observe_mansy, reset_env, step_env,
+    observe_mansy, reset_env, step_env, viewport_acc_estimate,
 )
 from mansy_immersivevideostreaming_tpu.sim.expert import (
     ExpertTables, action_sequences, causal_bw_estimate, choose_action,
@@ -33,7 +33,8 @@ from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 
 def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                           etables: ExpertTables, horizon: int,
-                          n_steps: int, pin_table=None, causal=False):
+                          n_steps: int, pin_table=None, causal=False,
+                          acc_correct=False):
     """Jitted: policy-driven rollout where each visited state is ALSO labeled
     by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
     [T, N], done [T, N]).  Lane count and the auto-reset stride are both
@@ -50,7 +51,12 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
     prediction from the lane's own observed throughput,
     ``sim.expert.causal_bw_estimate``) instead of the reference's
     privileged true-future-trace rollout — causal labels are consistent
-    with the policy's observation and therefore imitable."""
+    with the policy's observation and therefore imitable.
+
+    ``acc_correct``: score relabel searches with the accuracy-corrected
+    deployable quality/variance estimate (``sim.expert.corrected_scores`` at
+    the lane's own ``sim.env.viewport_acc_estimate``) — the teacher is then
+    a pure function of causally available state."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     pins = None if pin_table is None else jnp.asarray(pin_table, jnp.int32)
 
@@ -68,7 +74,9 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                 lambda s: choose_action(
                     tables, etables, s, seqs,
                     bw_hat=(causal_bw_estimate(tables, s) if causal
-                            else None)))(states)
+                            else None),
+                    acc_hat=(viewport_acc_estimate(s.past_acc)
+                             if acc_correct else None)))(states)
             if pins is not None:
                 pinned = pins[states.qoe_id]
                 expert_act = jnp.where(pinned >= 0, pinned, expert_act)

@@ -198,6 +198,25 @@ def harmonic_bw_estimate(past_throughput: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n > 0, n / jnp.maximum(inv, 1e-12), jnp.float32(0.5))
 
 
+def viewport_acc_estimate(past_acc: jnp.ndarray) -> jnp.ndarray:
+    """Causal estimate of the next chunk's prediction RECALL (the fraction of
+    the ground-truth viewport covered by the prediction) from the lane's own
+    observed accuracy history, used by the accuracy-corrected deployable
+    scoring (``sim.expert.corrected_scores``).
+
+    The observed per-chunk accuracy is tile-IoU (``ops.iou_accuracy``,
+    reference ``results.py:21``); with the predicted and true viewports of
+    near-equal tile count (both are FoV occupancy maps), recall ≈
+    ``2 * iou / (1 + iou)``.  Mean over the filled (non-zero) history
+    entries; IoU prior 0.8 while the history is empty (≈ the dataset-wide
+    mean chunk accuracy, BASELINE.md: shipped export 0.8042)."""
+    nz = past_acc > 0
+    n = jnp.sum(nz.astype(jnp.float32))
+    s = jnp.sum(jnp.where(nz, past_acc, 0.0))
+    iou = jnp.where(n > 0, s / jnp.maximum(n, 1.0), jnp.float32(0.8))
+    return 2.0 * iou / (1.0 + iou)
+
+
 def exact_action_values(tables: SimTables, state: EnvState) -> jnp.ndarray:
     """[A+1] exact one-step causal action values + bw_hat (extension).
 
@@ -218,8 +237,18 @@ def exact_action_values(tables: SimTables, state: EnvState) -> jnp.ndarray:
     """
     v, u, c = state.video, state.user, state.next_chunk
     bw_hat = harmonic_bw_estimate(state.past_throughput)  # normalized
-    q_n = tables.av_quality[v, u, c] / tables.max_rate        # [A]
-    intra_n = tables.av_intra[v, u, c] / tables.max_rate      # [A]
+    quality = tables.av_quality[v, u, c]                      # [A]
+    intra = tables.av_intra[v, u, c]                          # [A]
+    if tables.av_out_quality is not None:
+        # accuracy-corrected estimate of the REALIZED quality/variance
+        # (sim.expert.corrected_scores), still fully causal
+        from mansy_immersivevideostreaming_tpu.sim.expert import corrected_scores
+        acc_hat = viewport_acc_estimate(state.past_acc)
+        quality, intra = corrected_scores(
+            quality, intra, tables.av_out_quality[v, u, c],
+            tables.av_out_intra[v, u, c], acc_hat)
+    q_n = quality / tables.max_rate                           # [A]
+    intra_n = intra / tables.max_rate                         # [A]
     dt = tables.av_size[v, u, c] / (bw_hat * tables.max_throughput)
     _, rebuf = push_chunk(state.buf, tables.chunk_length, dt)
     w = tables.qoe_weights[state.qoe_id]

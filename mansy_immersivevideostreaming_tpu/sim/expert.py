@@ -46,7 +46,12 @@ class ExpertTables(NamedTuple):
     ``expert_env.py:160-172``); ``dep_*`` (extension): allocated AND
     evaluated on the predicted viewport — the fully *deployable* variant a
     real player could compute at decision time (size needs no dep variant:
-    it depends only on the allocation, so ``pred_size`` applies)."""
+    it depends only on the allocation, so ``pred_size`` applies);
+    ``out_*`` (extension): allocated on the predicted viewport, evaluated
+    over its COMPLEMENT — with ``dep_*`` this lets a player form the
+    accuracy-corrected realized-quality estimate
+    ``acc * dep + (1 - acc) * out`` from its own observed prediction-accuracy
+    history (see :func:`corrected_scores`), still fully causal."""
     gt_quality: jnp.ndarray
     gt_intra: jnp.ndarray
     gt_size: jnp.ndarray
@@ -55,6 +60,8 @@ class ExpertTables(NamedTuple):
     pred_size: jnp.ndarray
     dep_quality: jnp.ndarray
     dep_intra: jnp.ndarray
+    out_quality: jnp.ndarray
+    out_intra: jnp.ndarray
 
 
 def build_expert_tables(tables: SimTables) -> ExpertTables:
@@ -64,20 +71,21 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
     actions = jnp.asarray(ACTION_TO_RATES)  # [A, 2]
     tile_idx = jnp.arange(T)
 
-    def per_action(alloc_vp, gt_vp, sizes_c, quals_c, act):
+    def per_action(alloc_vp, eval_vp, sizes_c, quals_c, act):
         versions, _ = allocate_tile_rates(act[0], act[1], alloc_vp)
         onehot = jax.nn.one_hot(versions, sizes_c.shape[0], axis=0,
                                 dtype=jnp.float32)
         sz = jnp.sum(sizes_c * onehot)
         q = jnp.sum(quals_c * onehot, axis=0)
-        vp_sum = jnp.sum(gt_vp)
-        quality = jnp.sum(gt_vp * q) / vp_sum
-        intra = jnp.sum(gt_vp * jnp.abs(q - quality)) / vp_sum
+        vp_sum = jnp.maximum(jnp.sum(eval_vp), 1e-6)
+        quality = jnp.sum(eval_vp * q) / vp_sum
+        intra = jnp.sum(eval_vp * jnp.abs(q - quality)) / vp_sum
         return quality, intra, sz
 
     def per_chunk(v, u, c):
         gt_vp = tables.gt[v, u, c]
         pred_vp = tables.pred[v, u, c]
+        comp_vp = jnp.maximum(1.0 - pred_vp, 0.0)  # complement of prediction
         sizes_c = tables.sizes[v, c]
         quals_c = tables.qualities[v, c]
         gt_q, gt_i, gt_s = jax.vmap(
@@ -86,7 +94,9 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
             lambda a: per_action(pred_vp, gt_vp, sizes_c, quals_c, a))(actions)
         d_q, d_i, _ = jax.vmap(
             lambda a: per_action(pred_vp, pred_vp, sizes_c, quals_c, a))(actions)
-        return gt_q, gt_i, gt_s, p_q, p_i, p_s, d_q, d_i
+        o_q, o_i, _ = jax.vmap(
+            lambda a: per_action(pred_vp, comp_vp, sizes_c, quals_c, a))(actions)
+        return gt_q, gt_i, gt_s, p_q, p_i, p_s, d_q, d_i, o_q, o_i
 
     vs, us, cs = jnp.meshgrid(jnp.arange(V), jnp.arange(U), jnp.arange(C),
                               indexing="ij")
@@ -96,7 +106,8 @@ def build_expert_tables(tables: SimTables) -> ExpertTables:
     return ExpertTables(gt_quality=shaped[0], gt_intra=shaped[1],
                         gt_size=shaped[2], pred_quality=shaped[3],
                         pred_intra=shaped[4], pred_size=shaped[5],
-                        dep_quality=shaped[6], dep_intra=shaped[7])
+                        dep_quality=shaped[6], dep_intra=shaped[7],
+                        out_quality=shaped[8], out_intra=shaped[9])
 
 
 def deployable_etables(etables: ExpertTables) -> ExpertTables:
@@ -108,13 +119,39 @@ def deployable_etables(etables: ExpertTables) -> ExpertTables:
                             pred_intra=etables.dep_intra)
 
 
-def attach_action_values(tables: SimTables, etables: ExpertTables) -> SimTables:
+def corrected_scores(dep_q, dep_i, out_q, out_i, acc):
+    """Accuracy-corrected causal estimate of the REALIZED (gt-evaluated)
+    per-action quality/intra-variance (extension, no reference analogue).
+
+    Realized quality averages the pred-allocated tile qualities over the
+    ground-truth viewport; splitting that viewport into the predicted region
+    (fraction ``acc``, the prediction accuracy) and its complement gives
+    ``q ≈ acc * dep_q + (1 - acc) * out_q``.  For the mean absolute deviation,
+    mixing the two regions around the combined mean adds the between-region
+    spread term ``2 acc (1 - acc) |dep_q - out_q|`` (exact for a two-point
+    mixture of the region means).  ``acc`` comes from the lane's own observed
+    prediction-accuracy history (``sim.env.viewport_acc_estimate``), so the
+    estimate is fully causal and deployable."""
+    q = acc * dep_q + (1.0 - acc) * out_q
+    i = (acc * dep_i + (1.0 - acc) * out_i
+         + 2.0 * acc * (1.0 - acc) * jnp.abs(dep_q - out_q))
+    return q, i
+
+
+def attach_action_values(tables: SimTables, etables: ExpertTables,
+                         acc_correct: bool = False) -> SimTables:
     """Attach the deployable per-action profiling tables to the env tables,
     enabling the exact ``action_values`` observation field
-    (``sim.env.exact_action_values``)."""
+    (``sim.env.exact_action_values``).  With ``acc_correct`` the out-of-
+    prediction tables are attached too, switching the field to the
+    accuracy-corrected estimate (:func:`corrected_scores`)."""
     return tables._replace(av_quality=etables.dep_quality,
                            av_intra=etables.dep_intra,
-                           av_size=etables.pred_size)
+                           av_size=etables.pred_size,
+                           av_out_quality=(etables.out_quality
+                                           if acc_correct else None),
+                           av_out_intra=(etables.out_intra
+                                         if acc_correct else None))
 
 
 @functools.lru_cache(maxsize=None)
@@ -145,7 +182,7 @@ def causal_bw_estimate(tables: SimTables, state: EnvState) -> jnp.ndarray:
 
 
 def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
-                  seqs: jnp.ndarray, bw_hat=None) -> jnp.ndarray:
+                  seqs: jnp.ndarray, bw_hat=None, acc_hat=None) -> jnp.ndarray:
     """Best first action by horizon-step virtual rollouts
     (reference ``expert_env.py:358-422``).
 
@@ -160,6 +197,13 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
     privileged-information advantage.  Pair with ``causal_bw_estimate``.
     The reference has no such mode; it is this framework's diagnostic for
     how much of the oracle ceiling is causally reachable.
+
+    ``acc_hat`` (optional scalar in [0, 1]): ACCURACY-CORRECTED deployable
+    scoring — quality/intra come from :func:`corrected_scores` over the
+    ``dep_*``/``out_*`` tables at this estimated prediction accuracy,
+    instead of ``pred_*`` (which evaluate on the ground-truth viewport —
+    privileged, ``expert_env.py:160-172``).  Pair with
+    ``sim.env.viewport_acc_estimate``.
     """
     v, u = state.video, state.user
     weights = tables.qoe_weights[state.qoe_id]
@@ -176,8 +220,15 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
             valid = chunk <= end_chunk
             a = seq[t]
             size = etables.pred_size[v, u, chunk, a]
-            quality = etables.pred_quality[v, u, chunk, a]
-            intra = etables.pred_intra[v, u, chunk, a]
+            if acc_hat is None:
+                quality = etables.pred_quality[v, u, chunk, a]
+                intra = etables.pred_intra[v, u, chunk, a]
+            else:
+                quality, intra = corrected_scores(
+                    etables.dep_quality[v, u, chunk, a],
+                    etables.dep_intra[v, u, chunk, a],
+                    etables.out_quality[v, u, chunk, a],
+                    etables.out_intra[v, u, chunk, a], acc_hat)
             if bw_hat is None:
                 new_net, dt = simulate_download_prefix(bw_row, bw_prefix,
                                                        bw_len, net, size)

@@ -58,6 +58,10 @@ class SimTables(NamedTuple):
     av_quality: jnp.ndarray | None = None  # f32 [V, U, C, A]
     av_intra: jnp.ndarray | None = None    # f32 [V, U, C, A]
     av_size: jnp.ndarray | None = None     # f32 [V, U, C, A] bytes
+    # out-of-prediction tables: when present, exact_action_values switches to
+    # the accuracy-corrected estimate (sim.expert.corrected_scores)
+    av_out_quality: jnp.ndarray | None = None  # f32 [V, U, C, A]
+    av_out_intra: jnp.ndarray | None = None    # f32 [V, U, C, A]
 
 
 def synthetic_sim_tables(num_videos: int = 2, num_users: int = 2,

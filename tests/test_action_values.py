@@ -282,3 +282,42 @@ def test_expert_cache_schema_guard(tmp_path):
     et = get_expert_tables(tables, cache, refresh=False)
     assert et.dep_quality.shape == et.pred_quality.shape
     assert et.dep_quality.ndim == 4
+
+
+def test_exact_action_values_acc_corrected_matches_controller():
+    """With acc_correct on both sides, argmax of obs['action_values'][:A]
+    equals the accuracy-corrected causal-h1 choose_action — the corrected
+    feature IS the corrected controller's decision variable."""
+    from mansy_immersivevideostreaming_tpu.sim.tables import synthetic_sim_tables
+    from mansy_immersivevideostreaming_tpu.sim.env import (
+        observe_mansy, reset_env, step_env, viewport_acc_estimate,
+    )
+    from mansy_immersivevideostreaming_tpu.sim.expert import (
+        action_sequences, attach_action_values, build_expert_tables,
+        causal_bw_estimate, choose_action,
+    )
+    tables = synthetic_sim_tables(seed=7)
+    rng = np.random.default_rng(8)
+    pred = np.asarray(tables.pred).copy()
+    flip = rng.random(pred.shape) < 0.15
+    pred = np.where(flip, 1.0 - pred, pred).astype(np.float32)
+    pred[..., 0] = 1.0
+    tables = tables._replace(pred=jnp.asarray(pred))
+    etables = build_expert_tables(tables)
+    tables = attach_action_values(tables, etables, acc_correct=True)
+    assert tables.av_out_quality is not None
+    seqs = jnp.asarray(action_sequences(1, int(tables.action_space)))
+    samples = jnp.asarray([[0, 0, 0, 0], [1, 1, 1, 1]], jnp.int32)
+
+    for lane in range(2):
+        state = reset_env(tables, samples, jnp.int32(lane), 1)
+        for _ in range(6):
+            obs = observe_mansy(tables, state)
+            av = np.asarray(obs["action_values"])[: int(tables.action_space)]
+            want = int(choose_action(
+                tables, etables, state, seqs,
+                bw_hat=causal_bw_estimate(tables, state),
+                acc_hat=viewport_acc_estimate(state.past_acc)))
+            assert int(np.argmax(av)) == want
+            state, _, _, _ = step_env(tables, samples, state, jnp.int32(3),
+                                      1, False)

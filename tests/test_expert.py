@@ -190,3 +190,104 @@ def test_choose_action_causal_matches_bruteforce(setup):
             state, _, over, _ = step(state, jnp.int32(got))
             if bool(over):
                 break
+
+
+@requires_data
+def test_out_tables_match_host(setup):
+    """out variant: allocate by pred viewport, evaluate on its COMPLEMENT
+    (extension — basis of the accuracy-corrected deployable estimate)."""
+    tables, etables = setup
+    t = np.arange(64)
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        v = int(rng.integers(0, 2))
+        c = int(rng.integers(6, 50))
+        a = int(rng.integers(0, 15))
+        ri, ro = ACTION_TO_RATES[a]
+        pred = np.asarray(tables.pred[v, 0, c])
+        comp = np.maximum(1.0 - pred, 0.0)
+        quals = np.asarray(tables.qualities[v, c])
+        versions = oracle_allocate(int(ri), int(ro), pred)
+        q = quals[versions, t]
+        want_q = float(np.sum(comp * q) / max(np.sum(comp), 1e-6))
+        want_i = float(np.sum(comp * np.abs(q - want_q)) / max(np.sum(comp), 1e-6))
+        assert float(etables.out_quality[v, 0, c, a]) == pytest.approx(want_q, rel=1e-5)
+        assert float(etables.out_intra[v, 0, c, a]) == pytest.approx(want_i, rel=1e-4)
+
+
+def test_corrected_scores_endpoints_and_mix():
+    from mansy_immersivevideostreaming_tpu.sim.expert import corrected_scores
+    dq, di, oq, oi = jnp.float32(30.0), jnp.float32(2.0), jnp.float32(10.0), jnp.float32(1.0)
+    # acc=1 -> pure dep; acc=0 -> pure out (spread term vanishes at both ends)
+    q1, i1 = corrected_scores(dq, di, oq, oi, jnp.float32(1.0))
+    assert float(q1) == pytest.approx(30.0) and float(i1) == pytest.approx(2.0)
+    q0, i0 = corrected_scores(dq, di, oq, oi, jnp.float32(0.0))
+    assert float(q0) == pytest.approx(10.0) and float(i0) == pytest.approx(1.0)
+    # interior: mean mixes linearly; MAD adds the between-region spread
+    q, i = corrected_scores(dq, di, oq, oi, jnp.float32(0.75))
+    assert float(q) == pytest.approx(0.75 * 30 + 0.25 * 10)
+    assert float(i) == pytest.approx(0.75 * 2 + 0.25 * 1 + 2 * 0.75 * 0.25 * 20)
+
+
+def test_viewport_acc_estimate_prior_and_mean():
+    from mansy_immersivevideostreaming_tpu.sim.env import viewport_acc_estimate
+    # empty history -> IoU prior 0.8, converted to recall 2a/(1+a)
+    f = float(viewport_acc_estimate(jnp.zeros(5)))
+    assert f == pytest.approx(2 * 0.8 / 1.8, rel=1e-6)
+    # filled entries -> mean IoU of the non-zero ones, then converted
+    hist = jnp.asarray(np.array([0.9, 0.6, 0.0, 0.0, 0.0], np.float32))
+    f = float(viewport_acc_estimate(hist))
+    assert f == pytest.approx(2 * 0.75 / 1.75, rel=1e-6)
+
+
+@requires_data
+def test_choose_action_acc_corrected_matches_bruteforce(setup):
+    """Accuracy-corrected causal search == host mirror (horizon 1)."""
+    tables, etables = setup
+    from mansy_immersivevideostreaming_tpu.sim.expert import (
+        causal_bw_estimate, corrected_scores)
+    from mansy_immersivevideostreaming_tpu.sim.env import viewport_acc_estimate
+    seqs = jnp.asarray(action_sequences(1, 15))
+    samples = jnp.asarray(np.array([[0, 0, 0, 0], [1, 0, 0, 0]], np.int32))
+
+    step = jax.jit(lambda s, a: step_env(tables, samples, s, a, 1, False))
+    pick = jax.jit(lambda s: choose_action(
+        tables, etables, s, seqs, bw_hat=causal_bw_estimate(tables, s),
+        acc_hat=viewport_acc_estimate(s.past_acc)))
+
+    for si in (0, 1):
+        state = reset_env(tables, samples, jnp.int32(si), 1)
+        v = int(state.video)
+        for _ in range(5):
+            got = int(pick(state))
+            hist = np.asarray(state.past_throughput)
+            nz = hist[hist > 0]
+            harm = (len(nz) / np.sum(1.0 / nz)) if len(nz) else 0.5
+            bw_hat = harm * float(tables.max_throughput)
+            ahist = np.asarray(state.past_acc)
+            anz = ahist[ahist > 0]
+            iou = float(np.mean(anz)) if len(anz) else 0.8
+            f = 2 * iou / (1 + iou)
+            buf = float(state.buf)
+            prev_q = float(state.qoe.prev_quality)
+            has_prev = bool(state.qoe.has_prev)
+            chunk = int(state.next_chunk)
+            best_total, best_a = -float("inf"), 0
+            for a in range(15):
+                size = float(etables.pred_size[v, 0, chunk, a])
+                q, i = corrected_scores(
+                    etables.dep_quality[v, 0, chunk, a],
+                    etables.dep_intra[v, 0, chunk, a],
+                    etables.out_quality[v, 0, chunk, a],
+                    etables.out_intra[v, 0, chunk, a], jnp.float32(f))
+                dt = size / bw_hat
+                rebuf = max(dt - buf, 0.0)
+                qn, intran = float(q) / 35.0, float(i) / 35.0
+                inter = abs(qn - prev_q) if has_prev else 0.0
+                total = 7 * qn - 1 * rebuf - 1 * (intran + inter)
+                if total > best_total:
+                    best_total, best_a = total, a
+            assert got == best_a, f"chunk {chunk}"
+            state, _, over, _ = step(state, jnp.int32(got))
+            if bool(over):
+                break
