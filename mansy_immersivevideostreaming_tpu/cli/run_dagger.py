@@ -106,12 +106,12 @@ def run(args, config):
     if args.exact_action_values:
         from mansy_immersivevideostreaming_tpu.sim.expert import (
             attach_action_values)
-        tables = attach_action_values(tables, etables,
-                                      acc_correct=args.acc_correct)
+        acc_obs = args.acc_correct or args.acc_correct_obs
+        tables = attach_action_values(tables, etables, acc_correct=acc_obs)
         vtables = attach_action_values(
             vtables, get_expert_tables(
                 vtables, cache_path.replace("_cache", "_valid_cache"), False),
-            acc_correct=args.acc_correct)
+            acc_correct=acc_obs)
 
     demos_path = args.demos_path or os.path.join(models_dir,
                                                  "train_demonstrations.pkl")
@@ -263,6 +263,12 @@ def build_parser():
                              "action-value obs field) with the accuracy-"
                              "corrected deployable estimate "
                              "(sim.expert.corrected_scores)")
+    parser.add_argument("--acc-correct-obs", action="store_true",
+                        help="accuracy-correct ONLY the exact action-value "
+                             "obs field, leaving relabel scoring as selected "
+                             "by --deployable-expert/--causal-expert (hybrid "
+                             "recipes: corrected deployable features + "
+                             "gt-scored teacher)")
     parser.add_argument("--deployable-expert", action="store_true",
                         help="score relabel searches on the fully deployable "
                              "profiling tables (pred-allocated AND "

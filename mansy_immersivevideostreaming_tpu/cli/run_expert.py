@@ -157,8 +157,9 @@ def create_demonstrations(args, config, qoe_weights, models_dir, demos_dir,
     if args.exact_action_values:
         # demo observations then include the exact 'action_values' field,
         # matching what the policy will observe at rollout/test time
-        tables = attach_action_values(tables, etables,
-                                      acc_correct=args.acc_correct)
+        tables = attach_action_values(
+            tables, etables,
+            acc_correct=args.acc_correct or args.acc_correct_obs)
     if args.deployable_eval:
         etables = deployable_etables(etables)
     print("Total samples:", samples.shape[0])
@@ -292,6 +293,11 @@ def build_parser():
                              "(sim.expert.corrected_scores at the lane's own "
                              "observed prediction-accuracy history) — fully "
                              "causal, unlike the gt-evaluated tables")
+    parser.add_argument("--acc-correct-obs", action="store_true",
+                        help="accuracy-correct ONLY the exact action-value "
+                             "obs field recorded in demos, leaving episode "
+                             "scoring as selected by --deployable-eval/"
+                             "--acc-correct (hybrid demo cores)")
     parser.add_argument("--exact-action-values", action="store_true",
                         help="(extension) record the exact causal one-step "
                              "action-value observation field in demos "

@@ -182,7 +182,8 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
     from mansy_immersivevideostreaming_tpu.cli import run_dagger, run_expert
 
     args = run_expert.build_parser().parse_args([
-        "--train", "--horizon", "1", "--lane-chunk", "8"])
+        "--train", "--horizon", "1", "--lane-chunk", "8",
+        "--exact-action-values", "--acc-correct-obs"])
     run_expert.run(args, cfg)
     demos = glob.glob(os.path.join(
         base, "models", "bitrate_selection", "expert", "**",
@@ -212,7 +213,8 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
         "--qoe-sample-weights", "0.5", "0.5", "4", "4", "2", "2",
         "--relabel-weight", "4", "--pin-expert", "0:14", "1:10",
         "--causal-expert", "--class-balance", "0.5",
-        "--obs-action-values"])
+        "--exact-action-values", "--acc-correct-obs",
+        "--av-logit-prior", "3.0"])
     run_dagger.run(args, cfg)
     out = glob.glob(os.path.join(
         base, "models", "bitrate_selection", "expert", "**",
