@@ -34,6 +34,24 @@ BASELINE_MTIO_SAMPLES = 18.3
 # regardless of compute dtype, the standard convention.
 PEAK_FLOPS_V5E = 197e12
 
+# Fallback FLOP estimate for the MTIO parity config (bs 512, d_model 512,
+# f32, AR decode): XLA's own cost_analysis of the train step, measured in
+# round 3 (artifacts/round3/decode_scaling.json, fut_window=15).  Used to
+# derive MFU when the live cost_analysis would need a fresh compile that
+# the wall-clock budget can't afford (BENCH_r04 died exactly there).
+MTIO_PARITY_GFLOP_PER_SAMPLE = 288.9 / 512.0
+
+# Wall-clock budget for the whole bench (seconds).  The driver kills the
+# process on its own timeout (BENCH_r04: rc=124 with all measurements done
+# but no JSON printed); everything after the ABR headline is printed is
+# best-effort and checks this deadline.
+BENCH_BUDGET = float(os.environ.get("MANSY_BENCH_BUDGET", "480"))
+T_START = time.time()
+
+
+def remaining():
+    return BENCH_BUDGET - (time.time() - T_START)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -163,17 +181,21 @@ def bench_abr(n_lanes=8192, n_steps=128, iters=4, profile_dir=None,
     flops = flops_of(collect, params, states, key)
     mfus = None
     if flops:
-        # MFU is rate-proportional (constant FLOP/call), so derive per repeat
-        mfus = [f_rate / (n_lanes * n_steps) * flops / PEAK_FLOPS_V5E
+        # cost_analysis counts the collector's n_steps-long lax.scan body
+        # ONCE (see bench_mtio), so `flops` is one env step over all lanes;
+        # per-env-step flops = flops / n_lanes.  MFU is rate-proportional
+        # (constant FLOP/step), so derive per repeat.
+        mfus = [f_rate * (flops / n_lanes) / PEAK_FLOPS_V5E
                 for f_rate in rates]
-        log(f"[bench] abr collect: {flops / 1e9:.2f} GFLOP/call -> "
+        log(f"[bench] abr collect: {flops / 1e9:.2f} GFLOP/scan-body "
+            f"({flops / n_lanes / 1e6:.2f} MFLOP/env-step) -> "
             f"MFU {statistics.median(mfus) * 100:.2f}% of v5e bf16 peak")
     return rates, mfus
 
 
 def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
                profile_dir=None, n_batches=32, bf16=False,
-               teacher_forcing=False, n_repeats=3):
+               teacher_forcing=False, n_repeats=3, deadline=None):
     """MTIO train throughput via the PRODUCTION path: the on-device epoch
     scan (vp_train.train_epoch, one dispatch per n_batches minibatches).
 
@@ -222,6 +244,9 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
     rates = []
     with _maybe_profile(profile_dir, "mtio"):
         for r in range(n_repeats):
+            if deadline is not None and time.time() > deadline and rates:
+                log(f"[bench] mtio: deadline reached after {r} repeats")
+                break
             epochs_done, dt = steady_rate(one_epoch, min_seconds=6.0, chunk=1)
             rates.append(epochs_done * n_batches * bs / dt)
             log(f"[bench] mtio train repeat {r + 1}/{n_repeats}: "
@@ -231,14 +256,36 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
                 f"=> {rates[-1] / BASELINE_MTIO_SAMPLES:,.0f}x")
     import statistics
     state = box["state"]
-    # flops of ONE train step; train_step donates state, so lower() on a copy
-    batch = {k: v[:bs] for k, v in data.items()}
-    flops = flops_of(vp_train.train_step, model, optimizer,
-                     jax.tree.map(jnp.copy, state), batch, key)
+    # Per-sample FLOPs.  The ONLY safe live source is the epoch scan itself:
+    # it was compiled above, so lower().compile() is a persistent-cache hit.
+    # Never compile a NEW program here — BENCH_r04 died cold-compiling
+    # train_step for cost_analysis after every measurement was already done.
+    flops_per_sample = None
+    parity = (bs, d_model, bf16, teacher_forcing) == (512, 512, False, False)
+    if deadline is None or time.time() < deadline:
+        epoch_flops = flops_of(vp_train.train_epoch, model, optimizer,
+                               jax.tree.map(jnp.copy, state), data, bs,
+                               perm, key)
+        if epoch_flops:
+            # XLA's cost_analysis counts a lax.scan body ONCE, not x trip
+            # count (measured: the 32-minibatch epoch program reports
+            # 289 GFLOP = exactly the round-3 per-STEP train_step cost at
+            # parity shapes), so epoch_flops IS the per-step flops.
+            flops_per_sample = epoch_flops / bs
+            if parity:
+                ratio = flops_per_sample / (MTIO_PARITY_GFLOP_PER_SAMPLE * 1e9)
+                if not (0.5 < ratio < 2.0):  # scan-count semantics changed
+                    log(f"[bench] mtio live FLOP estimate {ratio:.2f}x the "
+                        "round-3 train_step measurement -> using the cached one")
+                    flops_per_sample = None
+    if flops_per_sample is None and parity:
+        flops_per_sample = MTIO_PARITY_GFLOP_PER_SAMPLE * 1e9
+        log("[bench] mtio MFU from round-3 cached FLOP estimate "
+            f"({MTIO_PARITY_GFLOP_PER_SAMPLE * 512:.1f} GFLOP/step at parity shapes)")
     mfus = None
-    if flops:
-        mfus = [f_rate / bs * flops / PEAK_FLOPS_V5E for f_rate in rates]
-        log(f"[bench] mtio train_step: {flops / 1e9:.2f} GFLOP/call -> "
+    if flops_per_sample:
+        mfus = [f_rate * flops_per_sample / PEAK_FLOPS_V5E for f_rate in rates]
+        log(f"[bench] mtio: {flops_per_sample * bs / 1e9:.2f} GFLOP/step -> "
             f"MFU {statistics.median(mfus) * 100:.2f}% of v5e bf16 peak")
     return rates, mfus
 
@@ -306,14 +353,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__) or ".",
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception as e:
-        log(f"[bench] compilation cache unavailable: {e!r}")
-    log(f"[bench] devices: {jax.devices()}")
+    # One cache dir shared with every CLI entry point (utils/prng.py) so the
+    # driver's bench run reuses the round's compiles.  BENCH_r04 had two
+    # caches (repo-local .jax_cache here vs ~/.mansy_jax_cache in the CLIs),
+    # each cold half the time.
+    from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache
+    enable_compilation_cache()
+    log(f"[bench] devices: {jax.devices()}  (budget {BENCH_BUDGET:.0f}s)")
     if args.mtio_tf:
         import statistics
         rows = []
@@ -343,17 +389,38 @@ def main(argv=None):
                           "unit": "samples/s", "sweep": rows}), flush=True)
         return
     import statistics
-    abr_rates, abr_mfus = (None, None)
+    out = None
     if not args.skip_abr:
         abr_rates, abr_mfus = bench_abr(profile_dir=args.profile)
+        abr_rate = statistics.median(abr_rates)
+        out = {
+            "metric": "abr_env_steps_per_sec",
+            "value": round(abr_rate, 1),
+            "unit": "steps/s",
+            "vs_baseline": round(abr_rate / BASELINE_ENV_STEPS, 2),
+            "dispersion": dispersion(abr_rates),
+        }
+        if abr_mfus:
+            out["mfu"] = round(statistics.median(abr_mfus), 5)
+            out["mfu_dispersion"] = dispersion(abr_mfus, digits=5)
+        # Print the headline IMMEDIATELY: BENCH_r04 finished every
+        # measurement and then died in the MTIO phase's cold compiles with
+        # nothing on stdout.  The enriched line below supersedes this one
+        # when the budget allows (the driver keeps the tail; both parse).
+        print(json.dumps(out), flush=True)
     try:
-        mtio_rates, mtio_mfus = bench_mtio(profile_dir=args.profile)
+        mtio_rates, mtio_mfus = bench_mtio(
+            profile_dir=args.profile, deadline=T_START + BENCH_BUDGET - 20)
     except Exception as e:  # secondary benchmark must not sink the headline
         log(f"[bench] mtio bench failed: {e!r}")
         mtio_rates = mtio_mfus = None
     mtio_rate = statistics.median(mtio_rates) if mtio_rates else None
     mtio_mfu = statistics.median(mtio_mfus) if mtio_mfus else None
     if args.skip_abr:
+        if mtio_rate is None:
+            print(json.dumps({"metric": "mtio_samples_per_sec",
+                              "value": None, "unit": "samples/s"}), flush=True)
+            return
         print(json.dumps({"metric": "mtio_samples_per_sec",
                           "value": round(mtio_rate, 1), "unit": "samples/s",
                           "vs_baseline": round(mtio_rate / BASELINE_MTIO_SAMPLES, 2),
@@ -361,26 +428,14 @@ def main(argv=None):
                           "mtio_dispersion": dispersion(mtio_rates)}),
               flush=True)
         return
-    abr_rate = statistics.median(abr_rates)
-    out = {
-        "metric": "abr_env_steps_per_sec",
-        "value": round(abr_rate, 1),
-        "unit": "steps/s",
-        "vs_baseline": round(abr_rate / BASELINE_ENV_STEPS, 2),
-        "dispersion": dispersion(abr_rates),
-    }
     if mtio_rate is not None:
         out["mtio_samples_per_sec"] = round(mtio_rate, 1)
         out["mtio_vs_baseline"] = round(mtio_rate / BASELINE_MTIO_SAMPLES, 2)
         out["mtio_dispersion"] = dispersion(mtio_rates)
-    for k, v, disp in (("mfu", statistics.median(abr_mfus) if abr_mfus else None,
-                        ("mfu_dispersion", abr_mfus)),
-                       ("mtio_mfu", mtio_mfu,
-                        ("mtio_mfu_dispersion", mtio_mfus))):
-        if v is not None:
-            out[k] = round(v, 5)
-            out[disp[0]] = dispersion(disp[1], digits=5)
-    print(json.dumps(out), flush=True)
+        if mtio_mfu is not None:
+            out["mtio_mfu"] = round(mtio_mfu, 5)
+            out["mtio_mfu_dispersion"] = dispersion(mtio_mfus, digits=5)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
