@@ -8,7 +8,14 @@
 #   * [1,7,1] -> action 10 pin (per-cell optimal const-min)
 # Single changed variable vs v15: teacher scoring deployable -> gt-causal,
 # demo core rebuilt from the same gt-causal teacher (v9's consistency lesson).
-set -x
+#
+# POST-MORTEM (round 5): the eval phases below are what produced the
+# collapsed committed grids (seen -0.1413 / unseen -0.2751): they omit
+# --av-logit-prior 3.0, so run_mansy rebuilt the policy WITHOUT the
+# +3.0*standardized-AV logit term it was trained with.  run_mansy now
+# restores net flags from the checkpoint's .netcfg.json sidecar; the
+# corrected re-eval is artifacts/round5/dagger_v16_reeval.sh.
+set -euxo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export MANSY_MODELS_DIR=/root/runs/rl16/models
@@ -43,8 +50,8 @@ timeout 2700 python -m mansy_immersivevideostreaming_tpu.cli.run_dagger \
   --av-logit-prior 3.0 \
   --pin-expert 1:10 \
   --demos-path $RUN/demos_causal_h3_pinned.pkl \
-  --output-path $DAGGER --seed 111 > $RUN/dagger_v16.log 2>&1
-cp $RUN/dagger_v16.log $OUT/dagger_v16_training.log || true
+  --output-path $DAGGER --seed 111 > $RUN/dagger_v16.log 2>&1 || exit 1
+cp $RUN/dagger_v16.log $OUT/dagger_v16_training.log
 echo PHASE_C_DONE
 
 # ---- Phase D: seen grid eval (best-valid ckpt) ----
@@ -66,6 +73,8 @@ python benchmarks/per_preference.py $OUT/dagger_v16_unseen_results.csv
 echo PHASE_E_DONE
 
 # ---- Phase F: last-round ckpt evals ----
+# (seed 112 exists ONLY to route outputs into distinct *seed_112* results
+# dirs; with --deterministic-eval the seed does not affect the results)
 timeout 1800 python -m mansy_immersivevideostreaming_tpu.cli.run_mansy \
   --test --test-on-seen --deterministic-eval \
   --exact-action-values --acc-correct \

@@ -43,7 +43,7 @@ from mansy_immersivevideostreaming_tpu.rl.rollout import (
 from mansy_immersivevideostreaming_tpu.rl.types import RunningStat
 from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy
 from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
-    restore_checkpoint, save_checkpoint,
+    load_net_config, restore_checkpoint, save_checkpoint, save_net_config,
 )
 from mansy_immersivevideostreaming_tpu.utils.logging import ConsoleLogger
 from mansy_immersivevideostreaming_tpu.utils.prng import enable_compilation_cache, seed_everything
@@ -74,6 +74,40 @@ def dummy_obs(config, batch=2, exact_action_values=False):
     if exact_action_values:
         obs["action_values"] = jnp.zeros((batch, config.action_space + 1))
     return obs
+
+
+def policy_net_config(args, acc_correct_obs=None):
+    """The net/obs construction flags a policy checkpoint was trained under,
+    written as a ``.netcfg.json`` sidecar (utils/checkpoint.py) so
+    ``--test --policy-path`` reconstructs the SAME policy function —
+    flags like av_logit_prior add no params, so a flag mismatch restores
+    silently into a different policy (the v16 eval bug)."""
+    return {
+        "hidden_dim": int(args.hidden_dim),
+        "obs_action_values": bool(args.obs_action_values),
+        "exact_action_values": bool(args.exact_action_values),
+        "av_logit_prior": float(args.av_logit_prior),
+        "acc_correct_obs": bool(args.acc_correct if acc_correct_obs is None
+                                else acc_correct_obs),
+    }
+
+
+def apply_net_config(args, netcfg):
+    """Override the eval-time net/obs flags from a checkpoint's sidecar,
+    reporting any CLI-flag mismatch (the sidecar wins)."""
+    mapping = {"hidden_dim": "hidden_dim",
+               "obs_action_values": "obs_action_values",
+               "exact_action_values": "exact_action_values",
+               "av_logit_prior": "av_logit_prior",
+               "acc_correct_obs": "acc_correct"}
+    for key, attr in mapping.items():
+        if key not in netcfg:
+            continue
+        old = getattr(args, attr)
+        if old != netcfg[key]:
+            print(f"netcfg sidecar: {attr} {old} -> {netcfg[key]} "
+                  "(checkpoint's training configuration wins)")
+            setattr(args, attr, netcfg[key])
 
 
 def _attach_exact_action_values(config, dataset, *tables_list,
@@ -176,12 +210,21 @@ def train(args, config, models_dir):
     if args.data_parallel and jax.device_count() > 1:
         states = jax.device_put(states, data_parallel_sharding(mesh))
     ret_rms = RunningStat.init()
-    valid_eval_fn = runner.make_eval_fn(policy_apply, vtables, observe_mansy)
+    # valid selection samples actions by default (tianshou parity; the
+    # reference's best-checkpoint criterion, run_mansy.py:85-104);
+    # --deterministic-eval makes selection measure the same argmax statistic
+    # the test grids do (VERDICT r4: stochastic "best" rewards low-entropy
+    # collapse, not boundary quality)
+    valid_eval_fn = runner.make_eval_fn(policy_apply, vtables, observe_mansy,
+                                        deterministic=args.deterministic_eval)
 
     checkpoint_path = os.path.join(models_dir, "checkpoint.ckpt")
     id_checkpoint_path = os.path.join(models_dir, "identifier_checkpoint.ckpt")
     best_policy_path = os.path.join(models_dir, "best_policy.ckpt")
     best_identifier_path = os.path.join(models_dir, "best_identifier.ckpt")
+    netcfg = policy_net_config(args)
+    for p in (checkpoint_path, best_policy_path):
+        save_net_config(p, netcfg)
     anchor_params = None
 
     bc_file_prefix = (f"bc_ms_{args.bc_max_steps}_ims_{args.bc_identifier_max_steps}"
@@ -404,6 +447,13 @@ def test(args, config, models_dir, results_dir):
     if os.path.exists(test_log_path):
         os.remove(test_log_path)
 
+    policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
+    if not os.path.exists(policy_path):
+        raise FileExistsError(f"File not exist: {policy_path}")
+    netcfg = load_net_config(policy_path)
+    if netcfg is not None:
+        apply_net_config(args, netcfg)
+
     split = "train" if args.test_on_seen else "test"
     qoe_weights = [config.qoe_split[split][i] for i in args.qoe_test_ids]
     print("Testing QoE weights:", qoe_weights)
@@ -423,9 +473,6 @@ def test(args, config, models_dir, results_dir):
     key = seed_everything(args.seed)
     params = policy.init(key, dummy_obs(
         config, exact_action_values=args.exact_action_values))["params"]
-    policy_path = args.policy_path or os.path.join(models_dir, "best_policy.ckpt")
-    if not os.path.exists(policy_path):
-        raise FileExistsError(f"File not exist: {policy_path}")
     params = restore_checkpoint(policy_path, params)
     print("Successfully loaded agent from:", policy_path)
 

@@ -105,3 +105,53 @@ def test_deterministic_eval_path():
                                observe_mansy, jax.random.PRNGKey(7),
                                deterministic=True)
     np.testing.assert_allclose(np.asarray(logs[0].qoe), np.asarray(logs2[0].qoe))
+
+
+def test_netcfg_sidecar_roundtrip(tmp_path):
+    """Policy checkpoints carry their net/obs construction flags in a
+    .netcfg.json sidecar, and run_mansy --test restores them (param-free
+    hyperparams like av_logit_prior restore silently into a DIFFERENT
+    policy if the eval invocation forgets a flag — the round-4 v16 eval
+    collapse)."""
+    from mansy_immersivevideostreaming_tpu.cli.run_mansy import (
+        apply_net_config, build_parser, policy_net_config)
+    from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
+        load_net_config, save_net_config)
+
+    args = build_parser().parse_args(
+        ["--hidden-dim", "256", "--exact-action-values",
+         "--acc-correct", "--av-logit-prior", "3.0"])
+    path = str(tmp_path / "policy.ckpt")
+    save_net_config(path, policy_net_config(args))
+
+    eval_args = build_parser().parse_args([])  # eval omits every net flag
+    assert eval_args.av_logit_prior == 0.0
+    apply_net_config(eval_args, load_net_config(path))
+    assert eval_args.hidden_dim == 256
+    assert eval_args.exact_action_values is True
+    assert eval_args.acc_correct is True
+    assert eval_args.av_logit_prior == 3.0
+    # sidecar-less checkpoints (rounds 2-3 artifacts) stay on CLI flags
+    assert load_net_config(str(tmp_path / "absent.ckpt")) is None
+
+
+def test_av_logit_prior_changes_argmax():
+    """The av_logit_prior term is part of the policy function: the same
+    params produce different argmax actions with and without it whenever
+    the action_values field dominates — the invariant the netcfg sidecar
+    protects."""
+    obs = _obs0(B=4)
+    obs["action_values"] = jnp.tile(
+        jnp.linspace(-1.0, 1.0, 16)[None, :], (4, 1))
+    with_prior = MansyActorCritic(hidden_dim=16, use_action_values=True,
+                                  av_logit_prior=50.0)
+    params = with_prior.init(jax.random.PRNGKey(0), obs)["params"]
+    without = MansyActorCritic(hidden_dim=16, use_action_values=True,
+                               av_logit_prior=0.0)
+    logits_p, _ = with_prior.apply({"params": params}, obs)
+    logits_0, _ = without.apply({"params": params}, obs)
+    # prior 50 x standardized ascending AVs pins the argmax to the max-AV
+    # action; the prior-less net (same params) must disagree somewhere
+    assert jnp.all(jnp.argmax(logits_p, -1) == 14)
+    assert not bool(jnp.all(jnp.argmax(logits_0, -1) ==
+                            jnp.argmax(logits_p, -1)))
