@@ -35,7 +35,7 @@ from mansy_immersivevideostreaming_tpu.sim.env import (
     generate_demo_samples, observe_mansy,
 )
 from mansy_immersivevideostreaming_tpu.utils.checkpoint import (
-    restore_checkpoint, save_checkpoint,
+    restore_checkpoint, save_checkpoint, save_net_config,
 )
 from mansy_immersivevideostreaming_tpu.utils.prng import (
     enable_compilation_cache, seed_everything,
@@ -103,10 +103,10 @@ def run(args, config):
     vweights = [config.qoe_split["valid"][i] for i in args.qoe_train_ids]
     vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
         config, args.train_dataset, args.network_dataset, "valid", vweights)
+    acc_obs = args.acc_correct or args.acc_correct_obs
     if args.exact_action_values:
         from mansy_immersivevideostreaming_tpu.sim.expert import (
             attach_action_values)
-        acc_obs = args.acc_correct or args.acc_correct_obs
         tables = attach_action_values(tables, etables, acc_correct=acc_obs)
         vtables = attach_action_values(
             vtables, get_expert_tables(
@@ -149,10 +149,20 @@ def run(args, config):
         from mansy_immersivevideostreaming_tpu.sim.expert import (
             deployable_etables)
         etables = deployable_etables(etables)
+    acc_correct = args.acc_correct
+    if args.acc_correct_prefs is not None:
+        # per-preference hybrid teacher: listed prefs get accuracy-corrected
+        # relabel scoring, the rest keep gt-evaluated pred_* scoring
+        acc_correct = np.zeros(len(qoe_weights), bool)
+        for idx in args.acc_correct_prefs:
+            assert 0 <= idx < len(qoe_weights)
+            acc_correct[idx] = True
+        print("Corrected-scoring prefs (idx):",
+              [i for i, c in enumerate(acc_correct) if c])
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
                                            args.horizon, n_steps, pin_table,
                                            causal=args.causal_expert,
-                                           acc_correct=args.acc_correct)
+                                           acc_correct=acc_correct)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 
@@ -172,6 +182,17 @@ def run(args, config):
 
     out_path = args.output_path or os.path.join(models_dir,
                                                 "dagger_policy.ckpt")
+    # net/obs construction sidecar: run_mansy --test rebuilds the policy
+    # from this, so the eval cannot silently drop param-free hyperparams
+    # like av_logit_prior (the v16 eval collapse: trained at prior 3.0,
+    # evaluated at the 0.0 default)
+    netcfg = {"hidden_dim": int(args.hidden_dim),
+              "obs_action_values": bool(args.obs_action_values),
+              "exact_action_values": bool(args.exact_action_values),
+              "av_logit_prior": float(args.av_logit_prior),
+              "acc_correct_obs": bool(acc_obs)}
+    for p in (out_path, out_path + ".last"):
+        save_net_config(p, netcfg)
 
     def balanced(ds):
         """Apply --class-balance multipliers on top of the aggregate's
@@ -263,6 +284,12 @@ def build_parser():
                              "action-value obs field) with the accuracy-"
                              "corrected deployable estimate "
                              "(sim.expert.corrected_scores)")
+    parser.add_argument("--acc-correct-prefs", type=int, nargs="*",
+                        default=None, metavar="PREF_IDX",
+                        help="apply --acc-correct relabel scoring ONLY to "
+                             "these preference indices; the rest keep gt-"
+                             "evaluated scoring — a per-preference hybrid "
+                             "teacher in one vmapped collector")
     parser.add_argument("--acc-correct-obs", action="store_true",
                         help="accuracy-correct ONLY the exact action-value "
                              "obs field, leaving relabel scoring as selected "

@@ -56,9 +56,16 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
     ``acc_correct``: score relabel searches with the accuracy-corrected
     deployable quality/variance estimate (``sim.expert.corrected_scores`` at
     the lane's own ``sim.env.viewport_acc_estimate``) — the teacher is then
-    a pure function of causally available state."""
+    a pure function of causally available state.  May also be a PER-PREF
+    bool array [n_qoe_prefs]: lanes on a True preference get corrected
+    scoring, the rest get the (gt-evaluated) ``pred_*`` scoring — one
+    consistent hybrid teacher per preference (``--acc-correct-prefs``)."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     pins = None if pin_table is None else jnp.asarray(pin_table, jnp.int32)
+    corr_table = None
+    if not isinstance(acc_correct, bool):
+        corr_table = jnp.asarray(np.asarray(acc_correct, bool))
+        acc_correct = True
 
     @jax.jit
     def collect(params: Any, samples: jnp.ndarray, key: jax.Array):
@@ -76,7 +83,9 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                     bw_hat=(causal_bw_estimate(tables, s) if causal
                             else None),
                     acc_hat=(viewport_acc_estimate(s.past_acc)
-                             if acc_correct else None)))(states)
+                             if acc_correct else None),
+                    use_corr=(None if corr_table is None
+                              else corr_table[s.qoe_id])))(states)
             if pins is not None:
                 pinned = pins[states.qoe_id]
                 expert_act = jnp.where(pinned >= 0, pinned, expert_act)

@@ -182,7 +182,8 @@ def causal_bw_estimate(tables: SimTables, state: EnvState) -> jnp.ndarray:
 
 
 def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
-                  seqs: jnp.ndarray, bw_hat=None, acc_hat=None) -> jnp.ndarray:
+                  seqs: jnp.ndarray, bw_hat=None, acc_hat=None,
+                  use_corr=None) -> jnp.ndarray:
     """Best first action by horizon-step virtual rollouts
     (reference ``expert_env.py:358-422``).
 
@@ -204,6 +205,12 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
     instead of ``pred_*`` (which evaluate on the ground-truth viewport —
     privileged, ``expert_env.py:160-172``).  Pair with
     ``sim.env.viewport_acc_estimate``.
+
+    ``use_corr`` (optional bool scalar, requires ``acc_hat``): traced
+    PER-LANE switch between corrected (True) and ``pred_*`` (False) scoring
+    — used by per-preference hybrid teachers (``run_dagger
+    --acc-correct-prefs``), where different QoE preferences get differently
+    scored labels inside one vmapped collector.
     """
     v, u = state.video, state.user
     weights = tables.qoe_weights[state.qoe_id]
@@ -229,6 +236,11 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
                     etables.dep_intra[v, u, chunk, a],
                     etables.out_quality[v, u, chunk, a],
                     etables.out_intra[v, u, chunk, a], acc_hat)
+                if use_corr is not None:
+                    quality = jnp.where(use_corr, quality,
+                                        etables.pred_quality[v, u, chunk, a])
+                    intra = jnp.where(use_corr, intra,
+                                      etables.pred_intra[v, u, chunk, a])
             if bw_hat is None:
                 new_net, dt = simulate_download_prefix(bw_row, bw_prefix,
                                                        bw_len, net, size)

@@ -291,3 +291,37 @@ def test_choose_action_acc_corrected_matches_bruteforce(setup):
             state, _, over, _ = step(state, jnp.int32(got))
             if bool(over):
                 break
+
+
+def test_choose_action_use_corr_switch(setup):
+    """``use_corr`` is a traced per-lane switch: True reproduces the
+    accuracy-corrected pick exactly, False reproduces the gt-evaluated
+    ``pred_*`` pick — the invariant behind per-preference hybrid teachers
+    (``run_dagger --acc-correct-prefs``)."""
+    tables, etables = setup
+    from mansy_immersivevideostreaming_tpu.sim.expert import causal_bw_estimate
+    from mansy_immersivevideostreaming_tpu.sim.env import viewport_acc_estimate
+    seqs = jnp.asarray(action_sequences(2, 15))
+    samples = jnp.asarray(np.array([[0, 0, 0, 0], [1, 0, 0, 0]], np.int32))
+
+    def pick(s, acc, corr):
+        return choose_action(
+            tables, etables, s, seqs, bw_hat=causal_bw_estimate(tables, s),
+            acc_hat=(viewport_acc_estimate(s.past_acc) if acc else None),
+            use_corr=(jnp.bool_(corr) if acc else None))
+
+    step = jax.jit(lambda s, a: step_env(tables, samples, s, a, 1, False))
+    for si in (0, 1):
+        state = reset_env(tables, samples, jnp.int32(si), 1)
+        for _ in range(4):
+            corrected = int(pick(state, True, True))
+            plain = int(pick(state, False, False))
+            assert int(pick(state, True, False)) == plain
+            # sanity: the corrected pick equals the no-switch corrected path
+            assert corrected == int(choose_action(
+                tables, etables, state, seqs,
+                bw_hat=causal_bw_estimate(tables, state),
+                acc_hat=viewport_acc_estimate(state.past_acc)))
+            state, _, over, _ = step(state, jnp.int32(corrected))
+            if bool(over):
+                break
