@@ -167,18 +167,27 @@ def run(args, config):
                                   deterministic=True)
 
     def valid_return(p, k):
-        """Mean valid return, plus the per-preference breakdown (the round-4
-        targets live in single cells, so per-round visibility matters)."""
+        """Deterministic-argmax valid metrics, per-preference breakdown.
+
+        Returns ``(grid, ret, pp)``: ``grid`` is the equal-weight mean over
+        preferences of mean episode QoE — the SAME statistic the 1440-episode
+        test grids report — and ``ret`` is the legacy mean episode return
+        (sum of per-chunk QoE), whose magnitude is dominated by the [7,1,1]
+        cell (~313 vs −6) so selecting on it optimized one preference's
+        noise (VERDICT r4 item 5; misled in v11/v12/v13/v16/v17)."""
         logs, masks = runner.evaluate(apply_fn, p, vtables, vsamples,
                                       observe_mansy, k, eval_fn=eval_fn)
         rets = np.concatenate([np.asarray(l.ret)[m]
                                for l, m in zip(logs, masks)])
+        qoes = np.concatenate([np.asarray(l.qoe)[m]
+                               for l, m in zip(logs, masks)])
         qids = np.concatenate([np.asarray(l.qoe_id)[m]
                                for l, m in zip(logs, masks)])
-        per_pref = {q: float(rets[qids == q].mean())
+        per_pref = {q: float(qoes[qids == q].mean())
                     for q in sorted(set(qids.tolist()))}
-        pp = " ".join(f"q{q}:{v:.2f}" for q, v in per_pref.items())
-        return float(rets.mean()), pp
+        grid = float(np.mean(list(per_pref.values())))
+        pp = " ".join(f"q{q}:{v:.4f}" for q, v in per_pref.items())
+        return grid, float(rets.mean()), pp
 
     out_path = args.output_path or os.path.join(models_dir,
                                                 "dagger_policy.ckpt")
@@ -210,10 +219,11 @@ def run(args, config):
     params, opt_state, losses = dagger.bc_on_aggregate(
         apply_fn, optimizer, params, opt_state, balanced(dataset),
         args.bc_steps, args.batch_size, k0, args.ent_coef)
-    best, pp = valid_return(params, jax.random.PRNGKey(args.seed))
+    best, ret0, pp = valid_return(params, jax.random.PRNGKey(args.seed))
+    best_round, best_ret, best_ret_round = 0, ret0, 0
     save_checkpoint(out_path, params)
     print(f"Round 0 (BC fit): ce {losses[0]:.4f} -> {losses[-1]:.4f} | "
-          f"valid return {best:.3f} [{pp}] | saved {out_path}")
+          f"valid grid {best:.4f} return {ret0:.3f} [{pp}] | saved {out_path}")
 
     for r in range(1, args.rounds + 1):
         t0 = time.time()
@@ -228,23 +238,26 @@ def run(args, config):
         params, opt_state, losses = dagger.bc_on_aggregate(
             apply_fn, optimizer, params, opt_state, balanced(dataset),
             args.bc_steps, args.batch_size, k_b, args.ent_coef)
-        ret, pp = valid_return(params, jax.random.PRNGKey(args.seed + r))
+        grid, ret, pp = valid_return(params, jax.random.PRNGKey(args.seed + r))
+        if ret > best_ret:
+            best_ret, best_ret_round = ret, r
         marker = ""
-        if ret > best:
-            best = ret
+        if grid > best:
+            best, best_round = grid, r
             save_checkpoint(out_path, params)
             marker = " *best*"
         print(f"Round {r}/{args.rounds}: +{args.lanes} episodes -> "
               f"{dataset[1].shape[0]} transitions | ce {losses[-1]:.4f} | "
-              f"valid return {ret:.3f} [{pp}] (best {best:.3f}){marker} "
-              f"[{time.time() - t0:.1f}s]")
-    # the valid split cannot see the dynamic-cell improvements (near-constant
-    # argmax behavior gives identical returns on its few episodes, so "best"
-    # selection is driven by q0 noise) — always keep the final-round params
-    # too so the test grid can arbitrate
+              f"valid grid {grid:.4f} return {ret:.3f} [{pp}] "
+              f"(best {best:.4f}){marker} [{time.time() - t0:.1f}s]")
+    # the valid split still cannot see everything the test grid measures
+    # (different videos/traces) — always keep the final-round params too so
+    # the test grid can arbitrate
     save_checkpoint(out_path + ".last", params)
-    print("Best valid return:", best, "| policy at", out_path,
-          "| last-round params at", out_path + ".last")
+    print(f"Best valid grid qoe {best:.4f} at round {best_round} "
+          f"(legacy return metric would have picked round {best_ret_round}, "
+          f"{best_ret:.3f}) | policy at {out_path} | last-round params at "
+          f"{out_path}.last")
 
 
 def build_parser():
