@@ -33,8 +33,11 @@ cp -n /root/runs/rl16/models/bitrate_selection/expert/Jin2022_cache.pkl \
       $RUN/models/bitrate_selection/expert/ || true
 
 # ---- Phase C: DAgger, fresh init, per-pref relabel scoring ----
-timeout 3600 python -m mansy_immersivevideostreaming_tpu.cli.run_dagger \
-  --rounds 20 --lanes 32 --horizon 3 --bc-steps 800 --batch-size 4096 \
+# 16 rounds, not 20: v17 ran ~145 s/round at width 128 and was cut by its
+# 3300 s timeout at 15/16; a wider net is slower still.  Checkpoint
+# selection is the deterministic valid-grid statistic (run_dagger d77feac).
+timeout 5400 python -m mansy_immersivevideostreaming_tpu.cli.run_dagger \
+  --rounds 16 --lanes 32 --horizon 3 --bc-steps 800 --batch-size 4096 \
   --lr 3e-4 --ent-coef 0 \
   --causal-expert --acc-correct-prefs 3 \
   --class-balance 0.5 --pref-interp 6 --relabel-weight 2 \
