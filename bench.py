@@ -208,6 +208,13 @@ def bench_mtio(bs=512, iters=6, d_model=512, dim_feedforward=512,
     import jax
     import jax.numpy as jnp
 
+    # The first-epoch compile below is the single longest uninterruptible
+    # step (263 s cold in BENCH_r04); entering it with less budget than it
+    # needs turns a clean rc=0 exit into an external-timeout kill.
+    if deadline is not None and deadline - time.time() < 60:
+        raise RuntimeError("mtio skipped: under 60s of budget left before "
+                           "the first-epoch compile")
+
     from mansy_immersivevideostreaming_tpu.models.mtio import ViewportTransformerMTIO
     from mansy_immersivevideostreaming_tpu.models import vp_train
 
