@@ -159,10 +159,13 @@ def run(args, config):
             acc_correct[idx] = True
         print("Corrected-scoring prefs (idx):",
               [i for i, c in enumerate(acc_correct) if c])
+    with_margin = (args.relabel_margin > 0
+                   or args.relabel_margin_q is not None)
     collect = dagger.make_dagger_collector(apply_fn, tables, etables,
                                            args.horizon, n_steps, pin_table,
                                            causal=args.causal_expert,
-                                           acc_correct=acc_correct)
+                                           acc_correct=acc_correct,
+                                           with_margin=with_margin)
     eval_fn = runner.make_eval_fn(apply_fn, vtables, observe_mansy,
                                   deterministic=True)
 
@@ -231,10 +234,26 @@ def run(args, config):
         samples = jnp.asarray(generate_demo_samples(
             len(videos), len(users), len(traces), len(qoe_weights),
             args.lanes, args.seed + r, qoe_probs=qoe_probs))
-        obs, expert_act, done = collect(params, samples, k_c)
+        extra_keep, mstats = None, ""
+        if with_margin:
+            obs, expert_act, done, margin = collect(params, samples, k_c)
+            mg = np.asarray(margin)
+            finite = np.isfinite(mg)  # pinned prefs are +inf: always kept
+            thr = args.relabel_margin
+            if args.relabel_margin_q is not None and finite.any():
+                thr = float(np.quantile(mg[finite], args.relabel_margin_q))
+            extra_keep = mg >= thr
+            if finite.any():
+                p25, p50, p75 = np.percentile(mg[finite], [25, 50, 75])
+                mstats = (f" | margin thr {thr:.4f} kept "
+                          f"{float(extra_keep[finite].mean()):.2f} "
+                          f"(p25/50/75 {p25:.4f}/{p50:.4f}/{p75:.4f})")
+        else:
+            obs, expert_act, done = collect(params, samples, k_c)
         dataset = dagger.aggregate(dataset, jax.device_get(obs),
                                    np.asarray(expert_act), np.asarray(done),
-                                   weight=args.relabel_weight)
+                                   weight=args.relabel_weight,
+                                   extra_keep=extra_keep)
         params, opt_state, losses = dagger.bc_on_aggregate(
             apply_fn, optimizer, params, opt_state, balanced(dataset),
             args.bc_steps, args.batch_size, k_b, args.ent_coef)
@@ -249,7 +268,7 @@ def run(args, config):
         print(f"Round {r}/{args.rounds}: +{args.lanes} episodes -> "
               f"{dataset[1].shape[0]} transitions | ce {losses[-1]:.4f} | "
               f"valid grid {grid:.4f} return {ret:.3f} [{pp}] "
-              f"(best {best:.4f}){marker} [{time.time() - t0:.1f}s]")
+              f"(best {best:.4f}){marker}{mstats} [{time.time() - t0:.1f}s]")
     # the valid split still cannot see everything the test grid measures
     # (different videos/traces) — always keep the final-round params too so
     # the test grid can arbitrate
@@ -324,6 +343,19 @@ def build_parser():
     parser.add_argument("--relabel-weight", type=float, default=1.0,
                         help="CE sampling weight for expert-relabeled policy "
                              "states relative to the initial demo aggregate")
+    parser.add_argument("--relabel-margin", type=float, default=0.0,
+                        help="drop relabeled transitions whose teacher "
+                             "decision margin (best minus second-best first-"
+                             "action value, weight-sum-normalized QoE units) "
+                             "is below this — confident-teacher filtering of "
+                             "the causally-ambiguous boundary labels the "
+                             "clone-gap analysis found unlearnable; pinned "
+                             "preferences are always kept")
+    parser.add_argument("--relabel-margin-q", type=float, default=None,
+                        metavar="Q",
+                        help="like --relabel-margin but self-calibrating: "
+                             "per round, drop the fraction Q of non-pinned "
+                             "relabels with the smallest margins")
     parser.add_argument("--hidden-dim", type=int, default=128)
     parser.add_argument("--obs-action-values", action="store_true",
                         help="(extension) add derived causal-MPC one-step "

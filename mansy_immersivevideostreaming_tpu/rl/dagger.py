@@ -34,7 +34,7 @@ from mansy_immersivevideostreaming_tpu.sim.tables import SimTables
 def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                           etables: ExpertTables, horizon: int,
                           n_steps: int, pin_table=None, causal=False,
-                          acc_correct=False):
+                          acc_correct=False, with_margin=False):
     """Jitted: policy-driven rollout where each visited state is ALSO labeled
     by the MPC expert.  Returns (obs pytree [T, N, ...], expert_actions
     [T, N], done [T, N]).  Lane count and the auto-reset stride are both
@@ -59,7 +59,13 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
     a pure function of causally available state.  May also be a PER-PREF
     bool array [n_qoe_prefs]: lanes on a True preference get corrected
     scoring, the rest get the (gt-evaluated) ``pred_*`` scoring — one
-    consistent hybrid teacher per preference (``--acc-correct-prefs``)."""
+    consistent hybrid teacher per preference (``--acc-correct-prefs``).
+
+    ``with_margin``: additionally return the teacher's per-label decision
+    margin [T, N] (``choose_action(..., return_margin=True)``) for
+    confidence-filtered aggregation (``run_dagger --relabel-margin``).
+    Pinned preferences get margin +inf (a pin is confident by
+    construction)."""
     seqs = jnp.asarray(action_sequences(horizon, int(tables.action_space)))
     pins = None if pin_table is None else jnp.asarray(pin_table, jnp.int32)
     corr_table = None
@@ -77,7 +83,7 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
             states, key = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(lambda s: observe_mansy(tables, s))(states)
-            expert_act = jax.vmap(
+            expert_out = jax.vmap(
                 lambda s: choose_action(
                     tables, etables, s, seqs,
                     bw_hat=(causal_bw_estimate(tables, s) if causal
@@ -85,20 +91,28 @@ def make_dagger_collector(apply_fn: Callable, tables: SimTables,
                     acc_hat=(viewport_acc_estimate(s.past_acc)
                              if acc_correct else None),
                     use_corr=(None if corr_table is None
-                              else corr_table[s.qoe_id])))(states)
+                              else corr_table[s.qoe_id]),
+                    return_margin=with_margin))(states)
+            if with_margin:
+                expert_act, margin = expert_out
+            else:
+                expert_act, margin = expert_out, None
             if pins is not None:
                 pinned = pins[states.qoe_id]
                 expert_act = jnp.where(pinned >= 0, pinned, expert_act)
+                if margin is not None:
+                    margin = jnp.where(pinned >= 0, jnp.inf, margin)
             logits, _ = apply_fn(params, obs)
             action = jax.random.categorical(k_act, logits)
             new_states, _, done, _ = jax.vmap(
                 lambda s, a: step_env(tables, samples, s, a, n, False)
             )(states, action)
-            return (new_states, key), (obs, expert_act, done)
+            out = ((obs, expert_act, done, margin) if with_margin
+                   else (obs, expert_act, done))
+            return (new_states, key), out
 
-        (_, _), (obs, expert_act, done) = jax.lax.scan(
-            body, (states, key), None, length=n_steps)
-        return obs, expert_act, done
+        (_, _), out = jax.lax.scan(body, (states, key), None, length=n_steps)
+        return out
 
     return collect
 
@@ -130,7 +144,8 @@ def flatten_demos(demos) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     return obs, act
 
 
-def aggregate(dataset, new_obs, new_act, done=None, weight: float = 1.0):
+def aggregate(dataset, new_obs, new_act, done=None, weight: float = 1.0,
+              extra_keep=None):
     """Append expert-labeled policy states to the aggregate dataset.
 
     ``dataset`` is ``(obs, act)`` or ``(obs, act, w)`` where ``w`` [n] f32
@@ -142,7 +157,9 @@ def aggregate(dataset, new_obs, new_act, done=None, weight: float = 1.0):
 
     ``new_obs`` leaves are [T, N, ...]; ``new_act``/``done`` [T, N].  Only
     steps up to and including each lane's FIRST episode end are kept (the
-    tail after auto-reset would duplicate episode starts)."""
+    tail after auto-reset would duplicate episode starts).  ``extra_keep``
+    (optional bool [T, N]) is ANDed in — e.g. the teacher-confidence mask
+    of ``--relabel-margin``."""
     obs, act = dataset[0], dataset[1]
     w = (np.asarray(dataset[2], np.float32) if len(dataset) > 2
          else np.ones(act.shape[0], np.float32))
@@ -152,6 +169,8 @@ def aggregate(dataset, new_obs, new_act, done=None, weight: float = 1.0):
         keep = ~(np.cumsum(np.asarray(first), axis=0).astype(bool)) | first
     else:
         keep = np.ones((T, N), bool)
+    if extra_keep is not None:
+        keep = keep & np.asarray(extra_keep, bool)
     keep = keep.reshape(-1)
     flat_obs = {k: np.asarray(v).reshape((T * N,) + v.shape[2:])[keep]
                 for k, v in new_obs.items()}

@@ -183,7 +183,7 @@ def causal_bw_estimate(tables: SimTables, state: EnvState) -> jnp.ndarray:
 
 def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
                   seqs: jnp.ndarray, bw_hat=None, acc_hat=None,
-                  use_corr=None) -> jnp.ndarray:
+                  use_corr=None, return_margin: bool = False) -> jnp.ndarray:
     """Best first action by horizon-step virtual rollouts
     (reference ``expert_env.py:358-422``).
 
@@ -211,6 +211,17 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
     — used by per-preference hybrid teachers (``run_dagger
     --acc-correct-prefs``), where different QoE preferences get differently
     scored labels inside one vmapped collector.
+
+    ``return_margin``: also return the teacher's DECISION MARGIN — the gap
+    between the best and second-best *first-action* values (max of sequence
+    totals grouped by first action), normalized by the preference's weight
+    sum so thresholds are comparable across preferences.  A small margin
+    means the label sits on a causally-ambiguous boundary state where the
+    teacher's argmax is effectively a coin flip given the observation —
+    exactly the labels the five-round clone-gap analysis found unlearnable
+    (BASELINE v18/v19: "CE on causally-ambiguous boundary states").
+    Requires ``seqs`` to be the full enumeration from
+    :func:`action_sequences` (first action varies fastest).
     """
     v, u = state.video, state.user
     weights = tables.qoe_weights[state.qoe_id]
@@ -269,4 +280,15 @@ def choose_action(tables: SimTables, etables: ExpertTables, state: EnvState,
 
     totals = jax.vmap(rollout)(seqs)
     best = jnp.argmax(totals)
-    return seqs[best, 0]
+    if not return_margin:
+        return seqs[best, 0]
+    n_seqs = int(seqs.shape[0])
+    n_act = int(round(n_seqs ** (1.0 / horizon)))
+    assert n_act ** horizon == n_seqs, (
+        "return_margin needs the full action_sequences enumeration")
+    # first action = i % n_act (action_sequences digit order), so grouping
+    # by first action is a reshape; ties give margin exactly 0
+    first_av = totals.reshape(n_seqs // n_act, n_act).max(axis=0)
+    top2 = jax.lax.top_k(first_av, 2)[0]
+    margin = (top2[0] - top2[1]) / jnp.sum(weights)
+    return seqs[best, 0], margin

@@ -213,6 +213,7 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
         "--qoe-sample-weights", "0.5", "0.5", "4", "4", "2", "2",
         "--relabel-weight", "4", "--pin-expert", "0:14", "1:10",
         "--causal-expert", "--class-balance", "0.5",
+        "--relabel-margin-q", "0.5",
         "--exact-action-values", "--acc-correct-obs",
         "--av-logit-prior", "3.0"])
     run_dagger.run(args, cfg)

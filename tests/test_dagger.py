@@ -124,3 +124,52 @@ def test_class_balance_weights_rebalance_within_pref_only():
     # beta=0 is a no-op
     assert np.allclose(
         dagger.class_balance_weights({"qoe_weight": qoe}, act, beta=0.0), 1.0)
+
+
+def test_margin_collector_and_filtering():
+    """with_margin: pinned prefs get +inf, unpinned get finite nonneg margins,
+    labels match the margin-free collector; extra_keep filters aggregation."""
+    tables = synthetic_sim_tables(num_videos=2, num_users=2, num_traces=2,
+                                  num_chunks=12, num_qoe=2)
+    etables = build_expert_tables(tables)
+    policy = MansyActorCritic(hidden_dim=16)
+    samples = jnp.asarray(generate_environment_samples(2, 2, 2, 2))
+    n_lanes = 8
+    apply_fn = lambda p, o: policy.apply({"params": p}, o)
+
+    from mansy_immersivevideostreaming_tpu.sim.env import observe_mansy, reset_env
+    states = jax.vmap(lambda i: reset_env(tables, samples, i, n_lanes))(
+        jnp.arange(n_lanes))
+    obs0 = jax.vmap(lambda s: observe_mansy(tables, s))(states)
+    params = policy.init(jax.random.PRNGKey(0), obs0)["params"]
+
+    plain = dagger.make_dagger_collector(apply_fn, tables, etables,
+                                         horizon=2, n_steps=6,
+                                         pin_table=np.array([-1, 10]))
+    marged = dagger.make_dagger_collector(apply_fn, tables, etables,
+                                          horizon=2, n_steps=6,
+                                          pin_table=np.array([-1, 10]),
+                                          with_margin=True)
+    _, act_a, _ = plain(params, samples[:n_lanes], jax.random.PRNGKey(1))
+    obs, act_b, done, margin = marged(params, samples[:n_lanes],
+                                      jax.random.PRNGKey(1))
+    act_a, act_b = np.asarray(act_a), np.asarray(act_b)
+    margin = np.asarray(margin)
+    assert (act_a == act_b).all()
+    assert margin.shape == act_b.shape
+    qoe_ids = np.asarray(samples[:n_lanes, 3])
+    assert np.isinf(margin[:, qoe_ids == 1]).all()      # pinned: always kept
+    free = margin[:, qoe_ids == 0]
+    assert np.isfinite(free).all() and (free >= 0).all()
+
+    # extra_keep drops exactly the masked-out transitions
+    empty = ({k: np.zeros((0,) + v.shape[2:], np.float32)
+              for k, v in obs.items()}, np.zeros(0, np.int32))
+    base = dagger.aggregate(empty, jax.device_get(obs), act_b,
+                            np.asarray(done))
+    # threshold above every finite margin: only the (+inf) pinned labels stay
+    thr = float(free.max()) + 1.0
+    filt = dagger.aggregate(empty, jax.device_get(obs), act_b,
+                            np.asarray(done), extra_keep=margin >= thr)
+    assert 0 < filt[1].shape[0] < base[1].shape[0]
+    assert (filt[1] == 10).all()  # surviving labels are the pin action

@@ -325,3 +325,61 @@ def test_choose_action_use_corr_switch(setup):
             state, _, over, _ = step(state, jnp.int32(corrected))
             if bool(over):
                 break
+
+
+@requires_data
+def test_choose_action_margin_matches_bruteforce(setup):
+    """``return_margin``: (top1 - top2) of per-first-action max totals,
+    weight-sum-normalized — host mirror over all 225 causal-h2 sequences."""
+    tables, etables = setup
+    from mansy_immersivevideostreaming_tpu.sim.expert import causal_bw_estimate
+    horizon = 2
+    seqs = jnp.asarray(action_sequences(horizon, 15))
+    samples = jnp.asarray(np.array([[0, 0, 0, 0], [1, 0, 0, 0]], np.int32))
+
+    step = jax.jit(lambda s, a: step_env(tables, samples, s, a, 1, False))
+    pick = jax.jit(lambda s: choose_action(
+        tables, etables, s, seqs, bw_hat=causal_bw_estimate(tables, s),
+        return_margin=True))
+
+    for si in (0, 1):
+        state = reset_env(tables, samples, jnp.int32(si), 1)
+        v = int(state.video)
+        for _ in range(4):
+            got_act, got_margin = pick(state)
+            got_act, got_margin = int(got_act), float(got_margin)
+            hist = np.asarray(state.past_throughput)
+            nz = hist[hist > 0]
+            harm = (len(nz) / np.sum(1.0 / nz)) if len(nz) else 0.5
+            bw_hat = harm * float(tables.max_throughput)
+            end_chunk = int(tables.end_chunk[v, 0])
+            h = min(horizon, end_chunk - int(state.next_chunk) + 1)
+            av = np.full(15, -np.inf)
+            for i in range(15 ** horizon):
+                total = 0.0
+                buf = float(state.buf)
+                prev_q = float(state.qoe.prev_quality)
+                has_prev = bool(state.qoe.has_prev)
+                for j in range(h):
+                    a = (i // 15 ** j) % 15
+                    chunk = int(state.next_chunk) + j
+                    size = float(etables.pred_size[v, 0, chunk, a])
+                    quality = float(etables.pred_quality[v, 0, chunk, a])
+                    intra = float(etables.pred_intra[v, 0, chunk, a])
+                    dt = size / bw_hat
+                    if dt > buf:
+                        rebuf, buf = dt - buf, 1.0
+                    else:
+                        rebuf, buf = 0.0, buf - dt + 1.0
+                    qn, intran = quality / 35.0, intra / 35.0
+                    inter = abs(qn - prev_q) if has_prev else 0.0
+                    prev_q, has_prev = qn, True
+                    total += 7 * qn - 1 * rebuf - 1 * (intran + inter)
+                av[i % 15] = max(av[i % 15], total)
+            order = np.sort(av)
+            want_margin = (order[-1] - order[-2]) / 9.0  # sum([7,1,1])
+            assert got_act == int(np.argmax(av))
+            assert got_margin == pytest.approx(want_margin, rel=1e-4, abs=1e-6)
+            state, _, over, _ = step(state, jnp.int32(got_act))
+            if bool(over):
+                break
