@@ -101,6 +101,22 @@ def run(args, config):
         config, args.train_dataset, args.network_dataset, "train", qoe_weights)
     etables = get_expert_tables(tables, cache_path, False)
     vweights = [config.qoe_split["valid"][i] for i in args.qoe_train_ids]
+    if args.valid_interp > 0:
+        # interp-aware selection (the v21 structural gap: a train-preference
+        # valid grid cannot arbitrate mid-simplex interpolation behavior, so
+        # it picks the [4,4,1]-collapse point; see BASELINE round-5 v20/v21).
+        # A distinct rng stream keeps these from duplicating the training
+        # interp preferences — selection must measure generalization, not
+        # memorization of the augmented training points.
+        vrng = np.random.default_rng(args.seed + 9973)
+        vbase = np.asarray(vweights, np.float64)
+        vcoef = vrng.dirichlet(
+            np.full(len(vweights), args.pref_interp_alpha),
+            size=args.valid_interp)
+        vweights = vweights + [[float(x) for x in np.round(c @ vbase, 4)]
+                               for c in vcoef]
+        print("Valid-grid interp preferences:",
+              vweights[len(args.qoe_train_ids):])
     vtables, vsamples, vvideos, vusers, vtraces = runner.build_split(
         config, args.train_dataset, args.network_dataset, "valid", vweights)
     acc_obs = args.acc_correct or args.acc_correct_obs
@@ -270,8 +286,9 @@ def run(args, config):
               f"valid grid {grid:.4f} return {ret:.3f} [{pp}] "
               f"(best {best:.4f}){marker}{mstats} [{time.time() - t0:.1f}s]")
     # the valid split still cannot see everything the test grid measures
-    # (different videos/traces) — always keep the final-round params too so
-    # the test grid can arbitrate
+    # (different videos/traces; --valid-interp closes the preference axis
+    # but not those) — always keep the final-round params too so the test
+    # grid can arbitrate
     save_checkpoint(out_path + ".last", params)
     print(f"Best valid grid qoe {best:.4f} at round {best_round} "
           f"(legacy return metric would have picked round {best_ret_round}, "
@@ -297,6 +314,13 @@ def build_parser():
                              "combinations of the train preferences")
     parser.add_argument("--pref-interp-alpha", type=float, default=1.0,
                         help="Dirichlet concentration for --pref-interp")
+    parser.add_argument("--valid-interp", type=int, default=0,
+                        help="(extension) append this many random convex "
+                             "combinations of the VALID preferences to the "
+                             "checkpoint-selection grid, so selection can "
+                             "arbitrate mid-simplex interpolation behavior "
+                             "(the v20/v21 collapse-point pick); drawn from "
+                             "a distinct rng stream than --pref-interp")
     parser.add_argument("--qoe-sample-weights", type=float, nargs="*",
                         default=None,
                         help="relative sampling weights per preference for "

@@ -170,14 +170,15 @@ def test_predict_export_end_to_end(tree):
     assert 0.0 <= acc <= 1.0
 
 
-def test_run_expert_demos_and_dagger_end_to_end(tree):
+def test_run_expert_demos_and_dagger_end_to_end(tree, capsys):
     """run_expert --train writes demos the DAgger CLI can aggregate and
     improve on (1 round, tiny shapes).
 
     The DAgger leg runs the full round-4 conditioning flag combo
     (preference interpolation + per-pref sample weights incl. interp slots +
-    pinned fixed-action experts + relabel weighting) so the unattended
-    at-scale runs exercise only tested paths."""
+    pinned fixed-action experts + relabel weighting + interp-aware
+    checkpoint selection) so the unattended at-scale runs exercise only
+    tested paths."""
     base, cfg = tree
     from mansy_immersivevideostreaming_tpu.cli import run_dagger, run_expert
 
@@ -214,6 +215,7 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
         "--relabel-weight", "4", "--pin-expert", "0:14", "1:10",
         "--causal-expert", "--class-balance", "0.5",
         "--relabel-margin-q", "0.5",
+        "--valid-interp", "2",
         "--exact-action-values", "--acc-correct-obs",
         "--av-logit-prior", "3.0"])
     run_dagger.run(args, cfg)
@@ -223,3 +225,8 @@ def test_run_expert_demos_and_dagger_end_to_end(tree):
     assert out
     # final-round params are always kept alongside the valid-best checkpoint
     assert glob.glob(out[0] + ".last")
+    # --valid-interp widens the selection grid: 4 base + 2 interp valid
+    # preferences, all present in the per-preference breakdown (q0..q5)
+    stdout = capsys.readouterr().out
+    assert "Valid-grid interp preferences:" in stdout
+    assert "q5:" in stdout
